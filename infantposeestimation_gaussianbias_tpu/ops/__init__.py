@@ -1,0 +1,47 @@
+"""Device-side numerical ops: affine warps, target generation, decoding."""
+
+from .affine import (
+    crop_and_normalize,
+    get_affine_matrix,
+    invert_affine,
+    transform_points,
+    warp_affine_batch,
+)
+from .decode import (
+    argmax_decode,
+    flip_heatmaps,
+    fused_alpha_decode,
+    fusion_decode,
+    local_gaussian_refine,
+    quarter_shift_decode,
+    sample_at_coords,
+    soft_argmax,
+    subpixel_refine,
+    taylor_decode,
+    temporal_smooth,
+    transform_preds,
+    window_centroid_refine,
+)
+from .heatmap import generate_targets
+
+__all__ = [
+    "argmax_decode",
+    "crop_and_normalize",
+    "flip_heatmaps",
+    "fused_alpha_decode",
+    "fusion_decode",
+    "generate_targets",
+    "get_affine_matrix",
+    "invert_affine",
+    "local_gaussian_refine",
+    "quarter_shift_decode",
+    "sample_at_coords",
+    "soft_argmax",
+    "subpixel_refine",
+    "taylor_decode",
+    "temporal_smooth",
+    "transform_points",
+    "transform_preds",
+    "warp_affine_batch",
+    "window_centroid_refine",
+]

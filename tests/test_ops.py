@@ -1,0 +1,250 @@
+"""Parity tests: vectorized device ops vs loop-based numpy/cv2 oracles."""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from infantposeestimation_gaussianbias_tpu import ops
+from tests import oracles
+
+
+# ---------------------------------------------------------------------------
+# Affine geometry
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("rot", [0.0, 17.5, -40.0, 80.0])
+def test_affine_matrix_matches_cv2(rot, rng):
+    center = rng.uniform(50, 400, 2).astype(np.float32)
+    scale = np.array([rng.uniform(80, 300)] * 2, np.float32)
+    out_size = (192, 256)
+    ours = np.asarray(ops.get_affine_matrix(center, scale, out_size, rot))
+    ref = oracles.get_affine_transform_oracle(center, scale, out_size, rot)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_affine_matrix_batched(rng):
+    centers = rng.uniform(50, 400, (8, 2)).astype(np.float32)
+    scales = np.repeat(rng.uniform(80, 300, (8, 1)), 2, 1).astype(np.float32)
+    rots = rng.uniform(-80, 80, 8).astype(np.float32)
+    mats = np.asarray(ops.get_affine_matrix(centers, scales, (192, 256), rots))
+    for i in range(8):
+        ref = oracles.get_affine_transform_oracle(
+            centers[i], scales[i], (192, 256), rots[i])
+        np.testing.assert_allclose(mats[i], ref, rtol=1e-4, atol=1e-3)
+
+
+def test_invert_affine(rng):
+    mats = np.asarray(ops.get_affine_matrix(
+        rng.uniform(50, 400, (4, 2)).astype(np.float32),
+        np.repeat(rng.uniform(80, 300, (4, 1)), 2, 1).astype(np.float32),
+        (192, 256),
+        rng.uniform(-40, 40, 4).astype(np.float32)))
+    inv = np.asarray(ops.invert_affine(jnp.asarray(mats)))
+    pts = rng.uniform(0, 200, (4, 5, 2)).astype(np.float32)
+    fwd = np.asarray(ops.transform_points(jnp.asarray(pts), jnp.asarray(mats)))
+    back = np.asarray(ops.transform_points(jnp.asarray(fwd), jnp.asarray(inv)))
+    np.testing.assert_allclose(back, pts, rtol=1e-3, atol=1e-2)
+
+
+@pytest.mark.parametrize("rot", [0.0, 25.0])
+def test_warp_matches_cv2(rot, rng):
+    img = rng.randint(0, 255, (240, 320, 3)).astype(np.float32)
+    center = np.array([160.0, 120.0], np.float32)
+    scale = np.array([200.0, 266.0], np.float32)
+    out_w, out_h = 96, 128
+
+    mat = np.asarray(ops.get_affine_matrix(center, scale, (out_w, out_h), rot))
+    ref = cv2.warpAffine(img, mat.astype(np.float64), (out_w, out_h),
+                         flags=cv2.INTER_LINEAR)
+    ours = np.asarray(ops.warp_affine_batch(
+        jnp.asarray(img)[None], jnp.asarray(mat)[None], out_w, out_h))[0]
+    # cv2 uses fixed-point bilinear (5-bit fractions); allow ~1 intensity level.
+    assert np.mean(np.abs(ours - ref)) < 0.5
+    assert np.max(np.abs(ours - ref)) < 8.0
+
+
+# ---------------------------------------------------------------------------
+# Heatmap targets
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sigma", [2.0, 1.5, 3.0])
+def test_generate_targets_matches_oracle(sigma, rng):
+    B, K = 4, 17
+    input_size, heatmap_size = (192, 256), (48, 64)
+    kpts = rng.uniform(-30, 230, (B, K, 2)).astype(np.float32)
+    vis = rng.randint(0, 3, (B, K)).astype(np.float32)
+
+    tgt, w = ops.generate_targets(jnp.asarray(kpts), jnp.asarray(vis),
+                                  heatmap_size, input_size, sigma, "msra")
+    tgt = np.asarray(tgt)  # (B, H, W, K)
+    w = np.asarray(w)
+    for b in range(B):
+        ref_t, ref_w = oracles.generate_target_oracle(
+            kpts[b], vis[b], heatmap_size, input_size, sigma)
+        np.testing.assert_allclose(tgt[b].transpose(2, 0, 1), ref_t,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(w[b], ref_w)
+
+
+def test_generate_targets_peak_location(rng):
+    """The Gaussian peak must land on the (integer-truncated) keypoint."""
+    kpts = np.array([[[100.0, 120.0]]], np.float32)  # -> heatmap (25, 30)
+    vis = np.ones((1, 1), np.float32)
+    tgt, w = ops.generate_targets(jnp.asarray(kpts), jnp.asarray(vis),
+                                  (48, 64), (192, 256), 2.0)
+    tgt = np.asarray(tgt)[0, :, :, 0]
+    py, px = np.unravel_index(tgt.argmax(), tgt.shape)
+    assert (px, py) == (25, 30)
+    assert tgt.max() == pytest.approx(1.0)
+    assert np.asarray(w)[0, 0] == 1.0
+
+
+def test_generate_targets_exact_mode(rng):
+    kpts = np.array([[[101.3, 121.7]]], np.float32)
+    vis = np.ones((1, 1), np.float32)
+    tgt, w = ops.generate_targets(jnp.asarray(kpts), jnp.asarray(vis),
+                                  (48, 64), (192, 256), 2.0, "exact")
+    tgt = np.asarray(tgt)[0, :, :, 0]
+    # Peak at the rounded sub-pixel center
+    py, px = np.unravel_index(tgt.argmax(), tgt.shape)
+    assert (px, py) == (round(101.3 / 4), round(121.7 / 4))
+
+
+# ---------------------------------------------------------------------------
+# Decoding
+# ---------------------------------------------------------------------------
+
+def _random_heatmaps(rng, B=3, K=17, H=64, W=48, peaked=True):
+    hm = rng.uniform(0, 0.1, (B, K, H, W)).astype(np.float32)
+    if peaked:
+        for b in range(B):
+            for k in range(K):
+                y, x = rng.randint(2, H - 2), rng.randint(2, W - 2)
+                yy, xx = np.mgrid[0:H, 0:W]
+                hm[b, k] += np.exp(-((xx - x) ** 2 + (yy - y) ** 2) / 8.0)
+    return hm
+
+
+def test_argmax_decode(rng):
+    hm = _random_heatmaps(rng)
+    coords, vals = ops.argmax_decode(jnp.asarray(hm.transpose(0, 2, 3, 1)))
+    flat = hm.reshape(hm.shape[0], hm.shape[1], -1)
+    idx = flat.argmax(-1)
+    np.testing.assert_allclose(np.asarray(vals), flat.max(-1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(coords)[..., 0], idx % 48)
+    np.testing.assert_allclose(np.asarray(coords)[..., 1], idx // 48)
+
+
+def test_quarter_shift_decode(rng):
+    hm = _random_heatmaps(rng)
+    coords, vals = ops.quarter_shift_decode(jnp.asarray(hm.transpose(0, 2, 3, 1)))
+    ref_c, ref_v = oracles.quarter_shift_oracle(hm)
+    np.testing.assert_allclose(np.asarray(coords), ref_c, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(vals), ref_v, rtol=1e-6)
+
+
+def test_taylor_decode(rng):
+    hm = _random_heatmaps(rng)
+    coords, vals = ops.taylor_decode(jnp.asarray(hm.transpose(0, 2, 3, 1)))
+    ref_c, ref_v = oracles.taylor_oracle(hm)
+    np.testing.assert_allclose(np.asarray(coords), ref_c, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vals), ref_v, rtol=1e-6)
+
+
+def test_soft_argmax(rng):
+    hm = _random_heatmaps(rng)
+    coords, scores = ops.soft_argmax(jnp.asarray(hm.transpose(0, 2, 3, 1)),
+                                     beta=1.0)
+    ref_c, ref_s = oracles.soft_argmax_oracle(hm)
+    np.testing.assert_allclose(np.asarray(coords), ref_c, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(scores), ref_s, rtol=1e-5)
+
+
+def test_local_gaussian_refine(rng):
+    hm = _random_heatmaps(rng)
+    coarse = rng.uniform(-1, 49, (3, 17, 2)).astype(np.float32)
+    out = ops.local_gaussian_refine(jnp.asarray(hm.transpose(0, 2, 3, 1)),
+                                    jnp.asarray(coarse), radius=2)
+    ref = oracles.local_refine_oracle(hm, coarse, r=2)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_sample_at_coords(rng):
+    B, K, H, W, C = 2, 17, 64, 48, 2
+    maps = rng.randn(B, K, C, H, W).astype(np.float32)
+    coords = rng.uniform(-2, 50, (B, K, 2)).astype(np.float32)
+    maps_nhwkc = maps.transpose(0, 3, 4, 1, 2)  # (B, H, W, K, C)
+    out = ops.sample_at_coords(jnp.asarray(maps_nhwkc), jnp.asarray(coords))
+    ref = oracles.grid_sample_point_oracle(maps, coords)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
+
+
+def test_decode_roundtrip_subpixel():
+    """encode keypoint -> heatmap -> taylor decode must recover the keypoint
+    to sub-pixel accuracy (the reference's core property)."""
+    rng = np.random.RandomState(1)
+    kpts = rng.uniform(40, 150, (8, 17, 2)).astype(np.float32)
+    vis = np.ones((8, 17), np.float32)
+    tgt, _ = ops.generate_targets(jnp.asarray(kpts), jnp.asarray(vis),
+                                  (48, 64), (192, 256), 2.0, "exact")
+    coords, _ = ops.taylor_decode(tgt)
+    err = np.abs(np.asarray(coords) - kpts / 4.0)
+    assert err.max() < 0.3, f"max sub-pixel error {err.max()}"
+
+
+def test_flip_heatmaps():
+    from infantposeestimation_gaussianbias_tpu.schemas import COCO17
+    rng = np.random.RandomState(2)
+    hm = rng.randn(2, 64, 48, 17).astype(np.float32)
+    flip_idx = jnp.asarray(COCO17.flip_index())
+    out = np.asarray(ops.flip_heatmaps(jnp.asarray(hm), flip_idx))
+    # left_eye (1) channel of output = right_eye (2) channel mirrored
+    np.testing.assert_allclose(out[:, :, :, 1], hm[:, :, ::-1, 2])
+    np.testing.assert_allclose(out[:, :, :, 0], hm[:, :, ::-1, 0])
+    # double flip = identity
+    out2 = np.asarray(ops.flip_heatmaps(jnp.asarray(out), flip_idx))
+    np.testing.assert_allclose(out2, hm)
+
+
+def test_transform_preds(rng):
+    coords = rng.uniform(0, 192, (4, 17, 2)).astype(np.float32)
+    centers = rng.uniform(100, 300, (4, 2)).astype(np.float32)
+    scales = rng.uniform(100, 400, (4, 2)).astype(np.float32)
+    out = np.asarray(ops.transform_preds(
+        jnp.asarray(coords), jnp.asarray(centers), jnp.asarray(scales),
+        (192, 256)))
+    for b in range(4):
+        for k in range(17):
+            ref_x = coords[b, k, 0] / 192 * scales[b, 0] + centers[b, 0] - scales[b, 0] / 2
+            ref_y = coords[b, k, 1] / 256 * scales[b, 1] + centers[b, 1] - scales[b, 1] / 2
+            np.testing.assert_allclose(out[b, k], [ref_x, ref_y], rtol=1e-5)
+
+
+def test_temporal_smooth_matches_reference_kernel():
+    rng = np.random.RandomState(3)
+    seq = rng.randn(20, 13, 2).astype(np.float32)
+    out = np.asarray(ops.temporal_smooth(jnp.asarray(seq), 5, "gaussian"))
+    # Reference protocol: one-sided gaussian kernel + edge pad + np.convolve
+    sig = 5 / 3.0
+    kernel = np.exp(-np.arange(5) ** 2 / (2 * sig**2))
+    kernel /= kernel.sum()
+    for k in range(13):
+        for d in range(2):
+            padded = np.pad(seq[:, k, d], (2, 2), mode="edge")
+            ref = np.convolve(padded, kernel, mode="valid")
+            np.testing.assert_allclose(out[:, k, d], ref, atol=1e-5)
+
+
+def test_fused_alpha_decode(rng):
+    hm = _random_heatmaps(rng, B=2, K=13, H=64, W=64)
+    reg = rng.uniform(0, 1, (2, 13, 2)).astype(np.float32)
+    coords, vals = ops.fused_alpha_decode(
+        jnp.asarray(hm.transpose(0, 2, 3, 1)), jnp.asarray(reg),
+        alpha=0.5, image_size=256.0, adaptive=True)
+    ref_hm_c, ref_v = oracles.taylor_oracle(hm)
+    ref_hm_c = ref_hm_c * (256.0 / 64)
+    a = (ref_v / (ref_v + 0.1))[..., None]
+    ref = a * ref_hm_c + (1 - a) * reg * 256.0
+    np.testing.assert_allclose(np.asarray(coords), ref, rtol=1e-4, atol=1e-3)
