@@ -1,0 +1,235 @@
+"""HRFormer backbone — multi-resolution transformer, NHWC flax implementation.
+
+Capability-parity rebuild of /root/reference/models/hrformer.py:494-846:
+the HRNet 4-stage exchange topology with transformer branch blocks
+(LayerNorm -> window MSA with relative position bias -> DropPath residual
+-> LayerNorm -> MLP).  The stem, stage-1 Bottlenecks, transitions, and
+fuse layers are convolutional with BatchNorm, exactly like the reference.
+
+Base:  channels (78, 156, 312, 624), heads (2, 4, 8, 16), window 7,
+       modules per stage (1, 4, 2), 2 blocks per branch, drop-path 0.2.
+Small: channels (32, 64, 128, 256), heads (1, 2, 4, 8), drop-path 0.1.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import msa
+from .layers import Bottleneck, ConvNorm, DropPath, resize_bilinear
+
+trunc_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class WindowAttention(nn.Module):
+    """W-MSA with relative position bias over (nW, N, C) windows."""
+
+    dim: int
+    window_size: int
+    num_heads: int
+    with_rpe: bool = True
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        nW, N, C = x.shape
+        h = self.num_heads
+        hd = C // h
+
+        qkv = nn.Dense(3 * C, use_bias=True, kernel_init=trunc_init,
+                       dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        bias = None
+        if self.with_rpe:
+            table = self.param(
+                "rpe_table", trunc_init,
+                ((2 * self.window_size - 1) ** 2, h))
+            idx = jnp.asarray(msa.relative_position_index(self.window_size))
+            bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
+
+        if self.use_pallas:
+            from ..ops.pallas.window_msa import window_attention_pallas
+            out = window_attention_pallas(q, k, v, bias)
+        else:
+            out = msa.window_attention(q, k, v, bias)
+        out = out.transpose(0, 2, 1, 3).reshape(nW, N, C)
+        return nn.Dense(C, kernel_init=trunc_init, dtype=self.dtype,
+                        name="proj")(out)
+
+
+class Mlp(nn.Module):
+    """Dense -> GELU -> Dense (ref models/hrformer.py:38-64)."""
+
+    hidden: int
+    out: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, kernel_init=trunc_init, dtype=self.dtype,
+                     name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, kernel_init=trunc_init, dtype=self.dtype,
+                        name="fc2")(x)
+
+
+class HRFormerBlock(nn.Module):
+    """LN -> window MSA -> droppath residual -> LN -> MLP residual
+    (ref models/hrformer.py:203-293), operating on NHWC feature maps."""
+
+    dim: int
+    num_heads: int
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    with_rpe: bool = True
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        shortcut = x
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        wins, (Hp, Wp) = msa.window_partition(y, self.window_size)
+        wins = WindowAttention(self.dim, self.window_size, self.num_heads,
+                               self.with_rpe, dtype=self.dtype,
+                               use_pallas=self.use_pallas,
+                               name="attn")(wins, train)
+        wins = wins.reshape(-1, self.window_size, self.window_size, C)
+        y = msa.window_reverse(wins, self.window_size, H, W, Hp, Wp)
+        x = shortcut + DropPath(self.drop_path, name="dp1")(y, train)
+
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y)
+        return x + DropPath(self.drop_path, name="dp2")(y, train)
+
+
+class HRFormerModule(nn.Module):
+    """Exchange unit: transformer branches + conv all-pairs fusion
+    (ref models/hrformer.py:347-491; fuse identical to HRNet's)."""
+
+    num_channels: Sequence[int]
+    num_heads: Sequence[int]
+    num_blocks: int = 2
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    norm: str = "batchnorm"
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, xs: List[jnp.ndarray], train: bool = False
+                 ) -> List[jnp.ndarray]:
+        n = len(self.num_channels)
+        ys = []
+        for i, x in enumerate(xs):
+            for b in range(self.num_blocks):
+                x = HRFormerBlock(
+                    self.num_channels[i], self.num_heads[i],
+                    self.window_size, self.mlp_ratio, self.drop_path,
+                    dtype=self.dtype, use_pallas=self.use_pallas,
+                    name=f"branch{i}_block{b}")(x, train)
+            ys.append(x)
+        if n == 1:
+            return ys
+
+        fused = []
+        for i in range(n):
+            acc = None
+            for j in range(n):
+                if j == i:
+                    contrib = ys[j]
+                elif j > i:
+                    contrib = ConvNorm(self.num_channels[i], 1, use_relu=False,
+                                       norm=self.norm, dtype=self.dtype,
+                                       name=f"fuse{i}_{j}")(ys[j], train)
+                    contrib = resize_bilinear(contrib, ys[i].shape[1],
+                                              ys[i].shape[2])
+                else:
+                    contrib = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        contrib = ConvNorm(
+                            self.num_channels[i] if last else self.num_channels[j],
+                            3, strides=2, use_relu=not last, norm=self.norm,
+                            dtype=self.dtype, name=f"fuse{i}_{j}_{k}")(
+                                contrib, train)
+                acc = contrib if acc is None else acc + contrib
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class HRFormer(nn.Module):
+    """HRFormer backbone; returns stride-4 highest-resolution features."""
+
+    channels: Tuple[int, ...] = (78, 156, 312, 624)
+    num_heads: Tuple[int, ...] = (2, 4, 8, 16)
+    stage_modules: Tuple[int, ...] = (1, 4, 2)
+    num_blocks: int = 2
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.2
+    norm: str = "batchnorm"
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # Conv stem + 2 Bottlenecks (ref stage1_num_blocks=(2,)).
+        x = ConvNorm(64, 3, strides=2, norm=self.norm, dtype=self.dtype,
+                     name="stem1")(x, train)
+        x = ConvNorm(64, 3, strides=2, norm=self.norm, dtype=self.dtype,
+                     name="stem2")(x, train)
+        for b in range(2):
+            x = Bottleneck(64, norm=self.norm, dtype=self.dtype,
+                           name=f"layer1_block{b}")(x, train)
+
+        xs = [x]
+        for s, modules in enumerate(self.stage_modules):
+            channels = self.channels[: s + 2]
+            heads = self.num_heads[: s + 2]
+            new_xs = []
+            for i, ch in enumerate(channels):
+                if i < len(xs):
+                    if xs[i].shape[-1] != ch:
+                        new_xs.append(ConvNorm(
+                            ch, 3, norm=self.norm, dtype=self.dtype,
+                            name=f"transition{s + 1}_{i}")(xs[i], train))
+                    else:
+                        new_xs.append(xs[i])
+                else:
+                    new_xs.append(ConvNorm(
+                        ch, 3, strides=2, norm=self.norm, dtype=self.dtype,
+                        name=f"transition{s + 1}_{i}")(xs[-1], train))
+            xs = new_xs
+            for m in range(modules):
+                xs = HRFormerModule(
+                    channels, heads, self.num_blocks, self.window_size,
+                    self.mlp_ratio, self.drop_path_rate, norm=self.norm,
+                    dtype=self.dtype, use_pallas=self.use_pallas,
+                    name=f"stage{s + 2}_module{m}")(xs, train)
+        return xs[0]
+
+
+def hrformer_base(norm: str = "batchnorm", dtype: Any = jnp.float32,
+                  use_pallas: bool = False) -> HRFormer:
+    return HRFormer(channels=(78, 156, 312, 624), num_heads=(2, 4, 8, 16),
+                    drop_path_rate=0.2, norm=norm, dtype=dtype,
+                    use_pallas=use_pallas)
+
+
+def hrformer_small(norm: str = "batchnorm", dtype: Any = jnp.float32,
+                   use_pallas: bool = False) -> HRFormer:
+    return HRFormer(channels=(32, 64, 128, 256), num_heads=(1, 2, 4, 8),
+                    drop_path_rate=0.1, norm=norm, dtype=dtype,
+                    use_pallas=use_pallas)

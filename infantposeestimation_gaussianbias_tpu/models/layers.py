@@ -1,0 +1,152 @@
+"""Shared flax building blocks: conv-norm units, residual blocks, resize.
+
+TPU-native counterparts of the reference's torch blocks
+(/root/reference/models/hrnet.py:12-103): NHWC layouts, configurable
+compute dtype (bfloat16 on TPU with float32 params and float32 norm
+statistics), and a norm switch (BatchNorm for reference parity — under
+GSPMD data parallelism batch statistics are global automatically —
+or GroupNorm for sync-free scaling).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# kaiming-normal fan_out, matching the reference init
+# (/root/reference/models/hrnet.py:389-396).
+conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class ConvNorm(nn.Module):
+    """Conv -> Norm (-> optional ReLU), bias-free conv like the reference."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    use_relu: bool = True
+    norm: str = "batchnorm"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=self.kernel_size // 2,
+            use_bias=False,
+            kernel_init=conv_kernel_init,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = make_norm(self.norm, name="norm")(x, train)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class Norm(nn.Module):
+    """Norm wrapper running in float32 regardless of compute dtype."""
+
+    kind: str = "batchnorm"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        if self.kind == "batchnorm":
+            # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1
+            # (flax momentum convention is 1 - torch's).
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                name="bn",
+            )(x)
+        elif self.kind == "groupnorm":
+            groups = min(32, x.shape[-1])
+            while x.shape[-1] % groups:
+                groups -= 1
+            x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                             dtype=jnp.float32, name="gn")(x)
+        else:
+            raise ValueError(f"Unknown norm {self.kind!r}")
+        return x.astype(orig_dtype)
+
+
+def make_norm(kind: str, name: str) -> Norm:
+    return Norm(kind=kind, name=name)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity residual (ref models/hrnet.py:12-53)."""
+
+    features: int
+    norm: str = "batchnorm"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        y = ConvNorm(self.features, 3, norm=self.norm, dtype=self.dtype,
+                     name="conv1")(x, train)
+        y = ConvNorm(self.features, 3, use_relu=False, norm=self.norm,
+                     dtype=self.dtype, name="conv2")(y, train)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1(x4) bottleneck residual (ref models/hrnet.py:56-103).
+
+    ``downsample`` (1x1 conv+norm on the skip) is created automatically when
+    input channels differ from features * 4.
+    """
+
+    features: int
+    expansion: int = 4
+    norm: str = "batchnorm"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        out_ch = self.features * self.expansion
+        residual = x
+        if x.shape[-1] != out_ch:
+            residual = ConvNorm(out_ch, 1, use_relu=False, norm=self.norm,
+                                dtype=self.dtype, name="downsample")(x, train)
+        y = ConvNorm(self.features, 1, norm=self.norm, dtype=self.dtype,
+                     name="conv1")(x, train)
+        y = ConvNorm(self.features, 3, norm=self.norm, dtype=self.dtype,
+                     name="conv2")(y, train)
+        y = ConvNorm(out_ch, 1, use_relu=False, norm=self.norm,
+                     dtype=self.dtype, name="conv3")(y, train)
+        return nn.relu(y + residual)
+
+
+def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bilinear NHWC resize with half-pixel centers — the jax.image
+    equivalent of the reference's F.interpolate(mode='bilinear',
+    align_corners=False) (/root/reference/models/hrnet.py:218-221)."""
+    B, _, _, C = x.shape
+    return jax.image.resize(x, (B, height, width, C), method="bilinear")
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (ref models/hrformer.py:15-35)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

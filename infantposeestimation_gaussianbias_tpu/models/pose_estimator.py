@@ -1,0 +1,147 @@
+"""PoseEstimator assembly: backbone + head, with factory from config.
+
+Rebuild of /root/reference/models/pose_estimator.py:146-392 as a flax
+module.  Loss computation and decode are pure functions (see losses/ and
+ops/decode.py) composed around `apply` — the flax idiom — rather than
+methods on the module; `flip_inference` below reproduces the reference's
+flip-test contract including its quirk of sampling offsets from the
+UNFLIPPED pass against flip-averaged heatmaps
+(/root/reference/models/pose_estimator.py:303-325).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import decode as decode_ops
+from .heads import FusedHead, FusionHead, HeatmapHead, SimCCHead
+from .hrformer import hrformer_base, hrformer_small
+from .hrnet import hrnet_w32, hrnet_w48
+from .litehrnet import litehrnet
+
+BACKBONES: Dict[str, Callable[..., nn.Module]] = {
+    "hrnet_w32": hrnet_w32,
+    "hrnet_w48": hrnet_w48,
+    "hrformer_base": hrformer_base,
+    "hrformer_small": hrformer_small,
+    "litehrnet": litehrnet,
+}
+
+
+class PoseEstimator(nn.Module):
+    """Backbone + head. Input NHWC images; outputs dict of NHWC maps."""
+
+    backbone_name: str = "hrnet_w32"
+    head_type: str = "heatmap"  # heatmap | fusion | fused | simcc
+    num_keypoints: int = 17
+    hidden_dim: int = 256
+    input_size: Tuple[int, int] = (192, 256)  # (W, H), for simcc bins
+    simcc_split_ratio: float = 2.0
+    norm: str = "batchnorm"
+    dtype: Any = jnp.float32
+    use_pallas: bool = False
+
+    def setup(self):
+        kwargs = dict(norm=self.norm, dtype=self.dtype)
+        if self.backbone_name.startswith("hrformer"):
+            kwargs["use_pallas"] = self.use_pallas
+        if self.backbone_name not in BACKBONES:
+            raise ValueError(f"Unknown backbone {self.backbone_name!r}; "
+                             f"known: {sorted(BACKBONES)}")
+        self.backbone = BACKBONES[self.backbone_name](**kwargs)
+
+        if self.head_type == "fusion":
+            self.head = FusionHead(self.num_keypoints, self.hidden_dim,
+                                   norm=self.norm, dtype=self.dtype)
+        elif self.head_type == "heatmap":
+            self.head = HeatmapHead(self.num_keypoints, norm=self.norm,
+                                    dtype=self.dtype)
+        elif self.head_type == "fused":
+            self.head = FusedHead(self.num_keypoints, norm=self.norm,
+                                  dtype=self.dtype)
+        elif self.head_type == "simcc":
+            self.head = SimCCHead(self.num_keypoints, self.input_size,
+                                  self.simcc_split_ratio, dtype=self.dtype)
+        else:
+            raise ValueError(f"Unknown head type {self.head_type!r}")
+
+    def __call__(self, x: jnp.ndarray, train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        feats = self.backbone(x.astype(self.dtype), train)
+        return self.head(feats, train)
+
+
+def build_model(cfg) -> PoseEstimator:
+    """Build from a Config (ref models/pose_estimator.py:376-392)."""
+    dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
+    return PoseEstimator(
+        backbone_name=cfg.model.backbone,
+        head_type=cfg.model.head_type,
+        num_keypoints=cfg.data.num_keypoints,
+        hidden_dim=cfg.model.hidden_dim,
+        input_size=tuple(cfg.data.input_size),
+        simcc_split_ratio=cfg.model.simcc_split_ratio,
+        norm=cfg.model.norm,
+        dtype=dtype,
+        use_pallas=getattr(cfg.model, "use_pallas", False),
+    )
+
+
+def decode_outputs(
+    outputs: Dict[str, jnp.ndarray],
+    head_type: str,
+    decode_method: str = "quarter",
+    softargmax_beta: float = 1.0,
+    refine_radius: int = 2,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode head outputs to (coords (B,K,2) heatmap-space, scores (B,K))."""
+    if head_type == "simcc":
+        return SimCCHead.decode(outputs["simcc_x"], outputs["simcc_y"])
+    if head_type == "fusion":
+        return decode_ops.fusion_decode(
+            outputs["heatmaps"], outputs["offsets"],
+            outputs["subpixel_alpha_logit"], outputs["fusion_weight_logit"],
+            beta=softargmax_beta, radius=refine_radius)
+    if decode_method == "taylor":
+        return decode_ops.taylor_decode(outputs["heatmaps"])
+    if decode_method == "softargmax":
+        return decode_ops.soft_argmax(outputs["heatmaps"], softargmax_beta)
+    return decode_ops.quarter_shift_decode(outputs["heatmaps"])
+
+
+def flip_inference(
+    apply_fn: Callable[..., Dict[str, jnp.ndarray]],
+    variables,
+    images: jnp.ndarray,
+    flip_index: jnp.ndarray,
+    head_type: str,
+    decode_method: str = "quarter",
+    shift_heatmap: bool = False,
+    flip: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Flip-test inference (ref models/pose_estimator.py:275-325).
+
+    Runs forward on images and their horizontal mirror, flips the mirrored
+    heatmaps back (swapping symmetric keypoint channels), averages, then
+    decodes.  For the fusion head, offsets/alpha come from the unflipped
+    pass — the reference's exact behavior.
+    """
+    outputs = apply_fn(variables, images, False)
+    if not flip:
+        return decode_outputs(outputs, head_type, decode_method)
+
+    flipped = apply_fn(variables, images[:, :, ::-1, :], False)
+    hm_f = decode_ops.flip_heatmaps(flipped["heatmaps"], flip_index,
+                                    shift=shift_heatmap)
+    avg = (outputs["heatmaps"] + hm_f) * 0.5
+    merged = dict(outputs)
+    merged["heatmaps"] = avg
+    return decode_outputs(merged, head_type, decode_method)
+
+
+def count_params(params) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(params))

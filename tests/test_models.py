@@ -1,0 +1,99 @@
+"""Model construction / shape / parameter-count tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from infantposeestimation_gaussianbias_tpu.models import (
+    PoseEstimator,
+    count_params,
+)
+
+
+def _init_and_run(model, shape=(1, 64, 48, 3)):
+    x = jnp.zeros(shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(variables, x, False)
+    return variables, out
+
+
+@pytest.mark.parametrize("backbone,feat_ch", [
+    ("hrnet_w32", 32),
+    ("litehrnet", 24),
+])
+def test_backbone_shapes(backbone, feat_ch):
+    model = PoseEstimator(backbone_name=backbone, head_type="heatmap",
+                          num_keypoints=17)
+    variables, out = _init_and_run(model, (1, 64, 48, 3))
+    hm = out["heatmaps"]
+    assert hm.shape == (1, 16, 12, 17)  # stride 4
+    assert hm.dtype == jnp.float32
+
+
+def test_hrnet_w32_param_count():
+    """Backbone params should land near the reference's 28.5M total
+    (BASELINE.md row: HRNet-W32 28.5M including head)."""
+    model = PoseEstimator(backbone_name="hrnet_w32", head_type="heatmap",
+                          num_keypoints=17)
+    variables, _ = _init_and_run(model)
+    n = count_params(variables["params"])
+    assert 27e6 < n < 30e6, f"param count {n/1e6:.1f}M out of range"
+
+
+def test_fusion_head_outputs():
+    model = PoseEstimator(backbone_name="litehrnet", head_type="fusion",
+                          num_keypoints=17, hidden_dim=64)
+    variables, out = _init_and_run(model, (2, 64, 48, 3))
+    assert out["heatmaps"].shape == (2, 16, 12, 17)
+    assert out["offsets"].shape == (2, 16, 12, 17, 2)
+    assert out["variances"].shape == (2, 16, 12, 17)
+    assert np.all(np.asarray(out["variances"]) > 0)  # softplus
+    assert out["fusion_weight_logit"].shape == ()
+
+
+def test_fused_head_outputs():
+    model = PoseEstimator(backbone_name="litehrnet", head_type="fused",
+                          num_keypoints=13)
+    variables, out = _init_and_run(model, (2, 64, 64, 3))
+    assert out["heatmaps"].shape == (2, 16, 16, 13)
+    assert out["coords"].shape == (2, 13, 2)
+    assert out["refined_coords"].shape == (2, 13, 2)
+
+
+def test_simcc_head_outputs():
+    model = PoseEstimator(backbone_name="litehrnet", head_type="simcc",
+                          num_keypoints=17, input_size=(48, 64))
+    variables, out = _init_and_run(model, (2, 64, 48, 3))
+    assert out["simcc_x"].shape == (2, 17, 96)
+    assert out["simcc_y"].shape == (2, 17, 128)
+    from infantposeestimation_gaussianbias_tpu.models import SimCCHead
+    coords, scores = SimCCHead.decode(out["simcc_x"], out["simcc_y"])
+    assert coords.shape == (2, 17, 2)
+
+
+def test_hrformer_small_shapes():
+    model = PoseEstimator(backbone_name="hrformer_small", head_type="fusion",
+                          num_keypoints=17, hidden_dim=64)
+    variables, out = _init_and_run(model, (1, 64, 48, 3))
+    assert out["heatmaps"].shape == (1, 16, 12, 17)
+
+
+def test_batchnorm_mutable_train_mode():
+    model = PoseEstimator(backbone_name="litehrnet", head_type="heatmap",
+                          num_keypoints=17)
+    x = jnp.ones((2, 64, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    out, mutated = model.apply(variables, x, True, mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+
+
+def test_bfloat16_compute():
+    model = PoseEstimator(backbone_name="litehrnet", head_type="heatmap",
+                          num_keypoints=17, dtype=jnp.bfloat16)
+    variables, out = _init_and_run(model)
+    # Params stay f32; outputs are cast back to f32 by the head.
+    leaf = jax.tree_util.tree_leaves(variables["params"])[0]
+    assert leaf.dtype == jnp.float32
+    assert out["heatmaps"].dtype == jnp.float32
