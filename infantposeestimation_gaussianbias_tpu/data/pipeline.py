@@ -1,0 +1,183 @@
+"""Host input pipeline: COCO records -> augmented crop batches.
+
+The reference uses torch DataLoader worker processes doing cv2 decode +
+warp + numpy target generation per sample
+(/root/reference/datasets/coco_dataset.py:121-183,253-306).  Here the host
+does ONLY JPEG decode + one cv2.warpAffine per sample (in a thread pool —
+cv2 releases the GIL) and ships uint8 crops; normalization and Gaussian
+target generation are fused into the jit'd train step on device.
+Per-sample determinism derives an RNG from (seed, epoch, index)
+(SURVEY.md section 5.2).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..config import Config
+from ..schemas import KeypointSchema
+from . import transforms as T
+from .coco import CocoIndex, build_records
+
+
+class PoseDataset:
+    """Record store + per-sample load/augment/warp."""
+
+    def __init__(self, cfg: Config, records: List[Dict], image_root: str,
+                 is_train: bool, image_cache: Optional[Dict] = None):
+        self.cfg = cfg
+        self.records = records
+        self.image_root = image_root
+        self.is_train = is_train
+        self.schema: KeypointSchema = cfg.data.keypoint_schema
+        self._cache = image_cache  # optional {file_name: ndarray} for tests
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def _load_image(self, rec: Dict) -> np.ndarray:
+        import cv2
+
+        if self._cache is not None and rec["image_file"] in self._cache:
+            return self._cache[rec["image_file"]]
+        path = os.path.join(self.image_root, rec["image_file"])
+        img = cv2.imread(path)
+        if img is None:
+            raise ValueError(f"Failed to load image: {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+    def get(self, idx: int, epoch: int = 0, seed: int = 0) -> Dict:
+        import cv2
+
+        rec = self.records[idx]
+        img = self._load_image(rec)
+        sample = {
+            "keypoints": rec["keypoints"].copy(),
+            "visible": rec["visible"].copy(),
+            "center": rec["center"].copy(),
+            "scale": rec["scale"].copy(),
+        }
+        if self.is_train:
+            rng = np.random.RandomState(
+                (seed * 1_000_003 + epoch * 7919 + idx) % (2**31 - 1))
+            sample = T.train_transform(rng, sample, img.shape[1],
+                                       self.schema, self.cfg.data)
+        else:
+            sample = T.val_transform(sample, img.shape[1], self.cfg.data)
+
+        W, H = self.cfg.data.input_size
+        crop = cv2.warpAffine(img, sample["matrix"].astype(np.float64),
+                              (int(W), int(H)), flags=cv2.INTER_LINEAR)
+        return {
+            "image_u8": crop,
+            "keypoints": sample["keypoints"].astype(np.float32),
+            "visible": sample["visible"].astype(np.float32),
+            "center": sample["center"].astype(np.float32),
+            "scale": sample["scale"].astype(np.float32),
+            "image_id": np.int64(rec["image_id"]),
+            "ann_id": np.int64(rec["ann_id"]),
+            "area": np.float32(rec["area"]),
+        }
+
+
+def _collate(samples: List[Dict], pad_to: int) -> Dict[str, np.ndarray]:
+    n = len(samples)
+    batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+    valid = np.ones(n, np.float32)
+    if n < pad_to:
+        reps = pad_to - n
+        for k, v in batch.items():
+            batch[k] = np.concatenate([v] + [v[-1:]] * reps, axis=0)
+        valid = np.concatenate([valid, np.zeros(reps, np.float32)])
+    batch["valid"] = valid
+    return batch
+
+
+class DataLoader:
+    """Threaded prefetching batch iterator over a PoseDataset."""
+
+    def __init__(self, dataset: PoseDataset, batch_size: int,
+                 shuffle: bool, seed: int = 0, num_threads: int = 8,
+                 prefetch: int = 4, drop_last: bool = False):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        if self.drop_last:
+            order = order[: len(order) // self.batch_size * self.batch_size]
+
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(
+                        lambda i: self.ds.get(int(i), epoch, self.seed),
+                        idxs))
+                    q.put(_collate(samples, self.batch_size))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def build_dataloader(cfg: Config, is_train: bool,
+                     image_cache: Optional[Dict] = None,
+                     one_per_image: bool = False) -> DataLoader:
+    """Build from config paths (ref datasets/coco_dataset.py:253-306)."""
+    d = cfg.data
+    ann = os.path.join(d.data_root, d.train_ann if is_train else d.val_ann)
+    prefix = d.train_img_prefix if is_train else d.val_img_prefix
+    index = CocoIndex(ann)
+    records = build_records(index, img_prefix="",
+                            bbox_padding=d.bbox_padding,
+                            one_per_image=one_per_image)
+    ds = PoseDataset(cfg, records, os.path.join(d.data_root, prefix),
+                     is_train, image_cache=image_cache)
+    bs = cfg.train.global_batch_size if is_train else cfg.eval.batch_size
+    return DataLoader(ds, bs, shuffle=is_train, seed=cfg.train.seed,
+                      drop_last=is_train)
+
+
+def device_batch(batch: Dict[str, np.ndarray], mean, std):
+    """Normalize a uint8 crop batch on device: (x/255 - mean)/std, plus
+    passthrough of the label arrays. Returns jnp arrays dict."""
+    import jax.numpy as jnp
+
+    out = {k: jnp.asarray(v) for k, v in batch.items() if k != "image_u8"}
+    x = jnp.asarray(batch["image_u8"]).astype(jnp.float32) / 255.0
+    out["image"] = (x - jnp.asarray(mean)) / jnp.asarray(std)
+    return out
