@@ -1,0 +1,155 @@
+"""High-level inference API: single image, batch, directory, video.
+
+Rebuild of /root/reference/inference.py:24-284 (PoseInference) with the
+TPU-native difference that preprocess -> forward -> decode -> back-project
+is ONE fused jit over a whole batch of crops — the reference loops
+`predict` per image (inference.py:217-236).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .models import build_model, decode_outputs, flip_inference
+from .ops import decode as decode_ops
+from .train.checkpoint import CheckpointManager
+from .train.step import create_train_state
+
+
+def detect_persons(image: np.ndarray) -> List[np.ndarray]:
+    """Full-image bbox placeholder detector
+    (ref inference.py:270-284 does the same)."""
+    h, w = image.shape[:2]
+    return [np.array([0, 0, w, h], np.float32)]
+
+
+class PoseInference:
+    """Checkpoint-backed pose predictor."""
+
+    def __init__(self, cfg: Config, checkpoint: Optional[str] = None,
+                 state=None):
+        self.cfg = cfg
+        self.schema = cfg.data.keypoint_schema
+        model = build_model(cfg)
+        if state is None:
+            state = create_train_state(cfg, model,
+                                       jax.random.PRNGKey(cfg.train.seed))
+            if checkpoint:
+                mgr = CheckpointManager(os.path.dirname(checkpoint) or ".")
+                state, _ = mgr.restore(state,
+                                       os.path.basename(checkpoint))
+        self.state = state
+        self._jit_pipeline = jax.jit(self._pipeline)
+
+    # -- fused device pipeline -------------------------------------------
+
+    def _pipeline(self, frames, centers, scales):
+        from .ops import affine
+
+        cfg = self.cfg
+        W, H = cfg.data.input_size
+        hm_w, hm_h = cfg.data.heatmap_size
+        crops = affine.crop_and_normalize(
+            frames, centers, scales, (W, H),
+            mean=cfg.data.pixel_mean, std=cfg.data.pixel_std)
+        flip_idx = jnp.asarray(self.schema.flip_index())
+        coords, scores = flip_inference(
+            self.state.apply_fn, self.state.variables, crops, flip_idx,
+            cfg.model.head_type, cfg.eval.decode,
+            shift_heatmap=cfg.eval.shift_heatmap, flip=cfg.eval.flip_test)
+        coords = coords * jnp.asarray([W / hm_w, H / hm_h], jnp.float32)
+        coords = decode_ops.transform_preds(coords, centers, scales, (W, H))
+        return coords, scores
+
+    # -- public API --------------------------------------------------------
+
+    def predict_batch(self, frames: np.ndarray, bboxes: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+        """frames (B, H, W, 3) RGB uint8 (equal size); bboxes (B, 4) xyxy.
+
+        Returns keypoints (B, K, 2) in frame coordinates and scores (B, K).
+        """
+        bboxes = np.asarray(bboxes, np.float32)
+        centers = (bboxes[:, :2] + bboxes[:, 2:]) / 2.0
+        scales = (bboxes[:, 2:] - bboxes[:, :2]) * self.cfg.data.bbox_padding
+        coords, scores = self._jit_pipeline(
+            jnp.asarray(frames, jnp.float32), jnp.asarray(centers),
+            jnp.asarray(scales))
+        return np.asarray(coords), np.asarray(scores)
+
+    def predict(self, image: np.ndarray, bbox: Optional[Sequence] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Single RGB image + optional xyxy bbox (defaults to full image)."""
+        if bbox is None:
+            bbox = detect_persons(image)[0]
+        kpts, scores = self.predict_batch(image[None],
+                                          np.asarray(bbox, np.float32)[None])
+        return kpts[0], scores[0]
+
+    def predict_directory(self, directory: str,
+                          exts=(".jpg", ".jpeg", ".png")) -> Dict[str, Dict]:
+        """Run over every image in a directory (ref inference.py dir mode)."""
+        import cv2
+
+        results = {}
+        for name in sorted(os.listdir(directory)):
+            if not name.lower().endswith(exts):
+                continue
+            img = cv2.imread(os.path.join(directory, name))
+            if img is None:
+                continue
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            kpts, scores = self.predict(img)
+            results[name] = {"keypoints": kpts, "scores": scores}
+        return results
+
+    def predict_video(self, video_path: str,
+                      temporal_smooth: Optional[bool] = None,
+                      max_frames: Optional[int] = None
+                      ) -> Tuple[np.ndarray, np.ndarray, float]:
+        """Per-frame full-image pose + optional temporal smoothing.
+
+        Returns (trajectory (T, K, 2), scores (T, K), fps).
+        """
+        import cv2
+
+        cap = cv2.VideoCapture(video_path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if max_frames and len(frames) >= max_frames:
+                break
+        cap.release()
+        if not frames:
+            return (np.zeros((0, self.schema.num_keypoints, 2)),
+                    np.zeros((0, self.schema.num_keypoints)), fps)
+        arr = np.stack(frames)
+        h, w = arr.shape[1:3]
+        bboxes = np.tile(np.array([0, 0, w, h], np.float32), (len(arr), 1))
+        # chunk to bound memory
+        kpts_all, scores_all = [], []
+        B = 32
+        for i in range(0, len(arr), B):
+            k, s = self.predict_batch(arr[i:i + B], bboxes[i:i + B])
+            kpts_all.append(k)
+            scores_all.append(s)
+        traj = np.concatenate(kpts_all)
+        scores = np.concatenate(scores_all)
+        do_smooth = (self.cfg.temporal.enabled if temporal_smooth is None
+                     else temporal_smooth)
+        if do_smooth and len(traj) >= self.cfg.temporal.window_size:
+            traj = np.asarray(decode_ops.temporal_smooth(
+                jnp.asarray(traj), self.cfg.temporal.window_size,
+                self.cfg.temporal.method))
+        return traj, scores, fps

@@ -138,9 +138,49 @@ def warp_affine_batch(imgs: jnp.ndarray, mats: jnp.ndarray,
     Equivalent to the reference's per-sample
     ``cv2.warpAffine(img, trans, (out_w, out_h), INTER_LINEAR)``
     (/root/reference/datasets/transforms.py:40-46) but batched and on device.
+
+    General path (handles rotation) via gather — slow on TPU; prefer
+    warp_affine_separable for axis-aligned crops.
     """
     inv = invert_affine(mats)
     return jax.vmap(lambda im, m: _warp_one(im, m, out_w, out_h))(imgs, inv)
+
+
+def _axis_weights(inv_scale: jnp.ndarray, inv_offset: jnp.ndarray,
+                  out_size: int, src_size: int) -> jnp.ndarray:
+    """Per-sample bilinear resampling matrix (B, out, src): row i holds the
+    two bilinear tap weights relu(1 - |src_coord(i) - j|).  Out-of-range
+    taps get zero weight == cv2's BORDER_CONSTANT(0)."""
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = inv_scale[:, None] * dst[None, :] + inv_offset[:, None]  # (B, out)
+    grid = jnp.arange(src_size, dtype=jnp.float32)
+    return jax.nn.relu(1.0 - jnp.abs(src[:, :, None] - grid[None, None, :]))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def warp_affine_separable(imgs: jnp.ndarray, mats: jnp.ndarray,
+                          out_w: int, out_h: int) -> jnp.ndarray:
+    """MXU-native bilinear warp for AXIS-ALIGNED affines (no rotation —
+    scale/translate/flip), i.e. matrices whose linear part is diagonal.
+
+    A bilinear resample along an axis is a sparse (2-taps-per-row) matrix;
+    instead of gathering (catastrophically slow on TPU) the warp becomes two
+    batched matmuls on the systolic array:
+        out = W_y @ img @ W_x^T
+    This is the fast path for the validation/inference pipeline, where the
+    reference's crops are never rotated (rot=0 in
+    /root/reference/datasets/transforms.py:318-322, inference.py:64-109).
+    """
+    B, H, W, C = imgs.shape
+    inv = invert_affine(mats)
+    wy = _axis_weights(inv[:, 1, 1], inv[:, 1, 2], out_h, H)  # (B,out_h,H)
+    wx = _axis_weights(inv[:, 0, 0], inv[:, 0, 2], out_w, W)  # (B,out_w,W)
+    dt = imgs.dtype if imgs.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
+    tmp = jnp.einsum("boh,bhwc->bowc", wy.astype(dt), imgs.astype(dt),
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("bpw,bowc->bopc", wx.astype(dt), tmp,
+                     preferred_element_type=jnp.float32)
+    return out
 
 
 def crop_and_normalize(
@@ -157,11 +197,16 @@ def crop_and_normalize(
     Mirrors /root/reference/inference.py:64-109 preprocessing, fully on
     device for a batch of crops.
     """
+    out_w, out_h = int(output_size[0]), int(output_size[1])
     if rots is None:
-        rots = jnp.zeros(imgs.shape[0], jnp.float32)
-    mats = get_affine_matrix(centers, scales, output_size, rots)
-    crops = warp_affine_batch(imgs.astype(jnp.float32), mats,
-                              int(output_size[0]), int(output_size[1]))
+        # No rotation: axis-aligned crop rides the MXU (two matmuls).
+        mats = get_affine_matrix(centers, scales, output_size, 0.0)
+        crops = warp_affine_separable(imgs.astype(jnp.float32), mats,
+                                      out_w, out_h)
+    else:
+        mats = get_affine_matrix(centers, scales, output_size, rots)
+        crops = warp_affine_batch(imgs.astype(jnp.float32), mats,
+                                  out_w, out_h)
     mean_a = jnp.asarray(mean, jnp.float32) * 255.0
     std_a = jnp.asarray(std, jnp.float32) * 255.0
     return (crops - mean_a) / std_a

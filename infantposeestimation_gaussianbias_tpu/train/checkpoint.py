@@ -1,0 +1,86 @@
+"""Orbax checkpointing with the reference's latest/best/periodic policy.
+
+The reference saves {epoch, model/optimizer/scheduler state, metrics} as
+latest.pth always, best.pth on AP improvement, epoch_N.pth every 10 epochs
+(/root/reference/train.py:339-368,461-470) and resumes all of it
+(:426-435).  Here the checkpointed pytree is {params, batch_stats,
+opt_state, step} + metadata, written asynchronously so training never
+blocks on I/O (preemption-safe auto-resume, SURVEY.md section 5.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    _HAS_ORBAX = False
+
+
+class CheckpointManager:
+    """latest / best / every-N checkpoints of a TrainState."""
+
+    def __init__(self, directory: str, save_every: int = 10):
+        self.directory = os.path.abspath(directory)
+        self.save_every = save_every
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer() if _HAS_ORBAX else None
+
+    def _tree(self, state) -> Dict[str, Any]:
+        return {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def _save(self, name: str, state, metadata: Dict[str, Any]) -> None:
+        tree = dict(self._tree(state))
+        tree["metadata"] = {k: np.asarray(v) for k, v in metadata.items()}
+        path = self._path(name)
+        if self._ckpt is not None:
+            self._ckpt.save(path, tree, force=True)
+            self._ckpt.wait_until_finished()
+        else:  # numpy fallback
+            flat, _ = jax.tree_util.tree_flatten(tree)
+            np.savez(path + ".npz", *[np.asarray(x) for x in flat])
+
+    def save(self, state, epoch: int, metrics: Dict[str, float],
+             best_metric: float, monitor: str = "AP"
+             ) -> Tuple[float, bool]:
+        """Apply the latest/best/periodic policy; returns (best, is_best)."""
+        meta = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}}
+        self._save("latest", state, meta)
+        current = float(metrics.get(monitor, -np.inf))
+        is_best = current > best_metric
+        if is_best:
+            self._save("best", state, meta)
+            best_metric = current
+        if self.save_every and (epoch + 1) % self.save_every == 0:
+            self._save(f"epoch_{epoch + 1}", state, meta)
+        return best_metric, is_best
+
+    def restore(self, state, name: str = "latest"):
+        """Restore into the given (abstract or concrete) state; returns
+        (state, metadata) or (state, None) when absent."""
+        path = self._path(name)
+        if self._ckpt is None or not os.path.exists(path):
+            return state, None
+        # Restore with the on-disk structure (metadata keys vary by epoch).
+        restored = self._ckpt.restore(path)
+        meta = restored.pop("metadata", None)
+        new_state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"])
+        return new_state, meta

@@ -1,0 +1,139 @@
+"""Full training / validation loops (driver layer).
+
+Rebuild of /root/reference/train.py:131-325 and /root/reference/validate.py:
+epoch loop with per-term loss logging, periodic flip-test validation with
+COCO AP, latest/best/periodic checkpointing — on the fused jit'd step,
+a device mesh, and the threaded host loader.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.pipeline import DataLoader, device_batch
+from ..eval import COCOEvaluator, MetricLogger
+from ..models import build_model, flip_inference
+from ..ops import decode as decode_ops
+from ..parallel import create_mesh, shard_batch
+from .checkpoint import CheckpointManager
+from .step import create_train_state, make_train_step
+
+log = logging.getLogger("ipe_tpu.train")
+
+
+def setup_logging(log_file: Optional[str] = None) -> None:
+    handlers = [logging.StreamHandler()]
+    if log_file:
+        handlers.append(logging.FileHandler(log_file))
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s",
+                        handlers=handlers, force=True)
+
+
+def validate(cfg: Config, state, loader: DataLoader,
+             gt_dataset: Dict, mesh=None) -> Dict[str, float]:
+    """Flip-test validation -> COCO AP (ref validate.py:39-140)."""
+    schema = cfg.data.keypoint_schema
+    flip_idx = jnp.asarray(schema.flip_index())
+    evaluator = COCOEvaluator(schema.oks_sigma_array(), gt_dataset)
+    mean, std = cfg.data.pixel_mean, cfg.data.pixel_std
+    W, H = cfg.data.input_size
+    hm_w, hm_h = cfg.data.heatmap_size
+
+    @jax.jit
+    def infer_batch(variables, images, centers, scales):
+        coords, scores = flip_inference(
+            state.apply_fn, variables, images, flip_idx,
+            cfg.model.head_type, cfg.eval.decode,
+            shift_heatmap=cfg.eval.shift_heatmap, flip=cfg.eval.flip_test)
+        coords = coords * jnp.asarray([W / hm_w, H / hm_h], jnp.float32)
+        coords = decode_ops.transform_preds(coords, centers, scales, (W, H))
+        return coords, scores
+
+    variables = state.variables
+    n = 0
+    t0 = time.time()
+    for batch in loader.epoch(0):
+        db = device_batch(batch, mean, std)
+        if mesh is not None:
+            db = shard_batch(db, mesh)
+        coords, scores = infer_batch(variables, db["image"],
+                                     db["center"], db["scale"])
+        evaluator.update(batch["image_id"], np.asarray(coords),
+                         np.asarray(scores), valid=batch["valid"] > 0)
+        n += int(batch["valid"].sum())
+    results = evaluator.evaluate()
+    log.info("validated %d samples in %.1fs: AP=%.4f AP50=%.4f AP75=%.4f "
+             "AR=%.4f", n, time.time() - t0, results["AP"],
+             results["AP50"], results["AP75"], results["AR"])
+    return results
+
+
+def train(cfg: Config, train_loader: DataLoader,
+          val_loader: Optional[DataLoader] = None,
+          gt_dataset: Optional[Dict] = None,
+          max_epochs: Optional[int] = None,
+          use_mesh: bool = True):
+    """Main training driver (ref train.py:371-473). Returns final state."""
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    mesh = create_mesh(cfg.parallel.data_axis,
+                       cfg.parallel.model_axis) if use_mesh else None
+    steps_per_epoch = len(train_loader)
+    cfg.train.steps_per_epoch = steps_per_epoch
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = create_train_state(cfg, model, rng, mesh=mesh)
+    step_fn = jax.jit(make_train_step(cfg, cfg.data.keypoint_schema),
+                      donate_argnums=0)
+
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg.train.save_every)
+    state, meta = ckpt.restore(state)
+    start_epoch = int(meta["epoch"]) + 1 if meta is not None else 0
+    best = float(meta.get("best", -np.inf)) if meta is not None else -np.inf
+    if start_epoch:
+        log.info("resumed from epoch %d", start_epoch)
+
+    mean, std = cfg.data.pixel_mean, cfg.data.pixel_std
+    epochs = max_epochs if max_epochs is not None else cfg.train.max_epochs
+    dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    for epoch in range(start_epoch, epochs):
+        logger = MetricLogger()
+        t0 = time.time()
+        for i, batch in enumerate(train_loader.epoch(epoch)):
+            db = device_batch(batch, mean, std)
+            if mesh is not None:
+                db = shard_batch(db, mesh)
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            state, metrics = step_fn(state, db, sub)
+            if (i + 1) % cfg.train.log_interval == 0 or i == 0:
+                scalars = {k: float(v) for k, v in metrics.items()}
+                logger.update(**scalars)
+                log.info("epoch %d [%d/%d] %s", epoch, i + 1,
+                         steps_per_epoch,
+                         " ".join(f"{k}={v:.4f}"
+                                  for k, v in scalars.items()))
+        log.info("epoch %d done in %.1fs  %s", epoch, time.time() - t0,
+                 logger)
+
+        metrics_out = logger.summary()
+        if (val_loader is not None and gt_dataset is not None and
+                (epoch + 1) % cfg.train.val_interval == 0):
+            results = validate(cfg, state, val_loader, gt_dataset, mesh)
+            metrics_out.update(results)
+        best, is_best = ckpt.save(state, epoch, metrics_out, best,
+                                  monitor=cfg.train.save_best)
+        if is_best:
+            log.info("new best %s=%.4f at epoch %d", cfg.train.save_best,
+                     best, epoch)
+    return state

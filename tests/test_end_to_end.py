@@ -1,0 +1,146 @@
+"""End-to-end slice: synthetic COCO -> train -> validate -> infer -> viz.
+
+Exercises every layer L1-L6 (SURVEY.md section 7.2 phase 3) with a tiny
+model on the 8-virtual-device CPU mesh.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from infantposeestimation_gaussianbias_tpu.config import Config
+from infantposeestimation_gaussianbias_tpu.data import (
+    CocoIndex,
+    DataLoader,
+    PoseDataset,
+    build_records,
+    synthetic_coco_dataset,
+)
+from infantposeestimation_gaussianbias_tpu.schemas import COCO17
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config()
+    cfg.model.backbone = "litehrnet"
+    cfg.model.head_type = "heatmap"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.input_size = (64, 64)
+    cfg.data.heatmap_size = (16, 16)
+    cfg.train.global_batch_size = 8
+    cfg.eval.batch_size = 8
+    cfg.train.lr = 1e-3
+    cfg.train.warmup_epochs = 0
+    cfg.train.val_interval = 100  # no mid-train val
+    cfg.train.log_interval = 1000
+    cfg.eval.flip_test = True
+
+    synth = synthetic_coco_dataset(num_images=16, num_keypoints=17, seed=7,
+                                   keypoint_names=COCO17.keypoint_names,
+                                   skeleton=COCO17.skeleton)
+    rng = np.random.RandomState(7)
+    cache = {im["file_name"]: rng.randint(0, 255, (256, 320, 3))
+             .astype(np.uint8) for im in synth["images"]}
+    index = CocoIndex(dataset=synth)
+    recs = build_records(index)
+    train_ds = PoseDataset(cfg, recs, "", is_train=True, image_cache=cache)
+    val_ds = PoseDataset(cfg, recs, "", is_train=False, image_cache=cache)
+    train_loader = DataLoader(train_ds, 8, shuffle=True, seed=0)
+    val_loader = DataLoader(val_ds, 8, shuffle=False)
+    return cfg, synth, train_loader, val_loader, cache
+
+
+def test_train_and_validate(setup, tmp_path):
+    from infantposeestimation_gaussianbias_tpu.train.loop import (
+        train,
+        validate,
+    )
+
+    cfg, synth, train_loader, val_loader, _ = setup
+    cfg.train.checkpoint_dir = str(tmp_path / "ckpt")
+    state = train(cfg, train_loader, max_epochs=2, use_mesh=True)
+    assert int(state.step) == 2 * len(train_loader)
+
+    results = validate(cfg, state, val_loader, synth)
+    assert set(results) >= {"AP", "AP50", "AP75", "AR"}
+    assert np.isfinite(results["AP"])
+    # checkpoints written
+    assert os.path.exists(os.path.join(cfg.train.checkpoint_dir, "latest"))
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    from infantposeestimation_gaussianbias_tpu.models import build_model
+    from infantposeestimation_gaussianbias_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+    from infantposeestimation_gaussianbias_tpu.train.step import (
+        create_train_state,
+    )
+
+    cfg = setup[0]
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "ck"), save_every=1)
+    best, is_best = mgr.save(state, 0, {"AP": 0.5}, -np.inf)
+    assert is_best and best == 0.5
+    best, is_best = mgr.save(state, 1, {"AP": 0.4}, best)
+    assert not is_best
+
+    state2 = create_train_state(cfg, model, jax.random.PRNGKey(42))
+    restored, meta = mgr.restore(state2, "best")
+    assert meta is not None and int(meta["epoch"]) == 0
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_inference_api(setup):
+    from infantposeestimation_gaussianbias_tpu.inference import PoseInference
+
+    cfg = setup[0]
+    infer = PoseInference(cfg)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (200, 300, 3)).astype(np.uint8)
+    kpts, scores = infer.predict(img, bbox=[50, 20, 250, 180])
+    assert kpts.shape == (17, 2)
+    assert scores.shape == (17,)
+    # batch path
+    frames = rng.randint(0, 255, (3, 200, 300, 3)).astype(np.uint8)
+    bboxes = np.tile([50, 20, 250, 180], (3, 1)).astype(np.float32)
+    kb, sb = infer.predict_batch(frames, bboxes)
+    assert kb.shape == (3, 17, 2)
+
+
+def test_viz_smoke(setup, tmp_path):
+    from infantposeestimation_gaussianbias_tpu.viz import (
+        create_clinical_report_figure,
+        create_grid_image,
+        draw_bbox,
+        draw_heatmaps,
+        draw_skeleton,
+        plot_movement_trajectory,
+    )
+    from infantposeestimation_gaussianbias_tpu.schemas import INFANT13
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (128, 96, 3)).astype(np.uint8)
+    kpts = rng.uniform(10, 80, (17, 2))
+    out = draw_skeleton(img, kpts, np.ones(17))
+    assert out.shape == img.shape
+    hm = rng.uniform(0, 1, (16, 12, 17)).astype(np.float32)
+    out = draw_heatmaps(img, hm)
+    assert out.shape == img.shape
+    out = draw_bbox(img, [5, 5, 90, 120])
+    grid = create_grid_image([img, img, img], cols=2)
+    assert grid.shape[0] > img.shape[0]
+
+    traj = rng.uniform(0, 100, (30, 13, 2))
+    scores = rng.uniform(0.3, 1.0, (30, 13))
+    plot_movement_trajectory(traj, INFANT13,
+                             out_path=str(tmp_path / "traj.png"))
+    create_clinical_report_figure(traj, scores, INFANT13,
+                                  out_path=str(tmp_path / "report.png"))
+    assert (tmp_path / "report.png").exists()

@@ -248,3 +248,25 @@ def test_fused_alpha_decode(rng):
     a = (ref_v / (ref_v + 0.1))[..., None]
     ref = a * ref_hm_c + (1 - a) * reg * 256.0
     np.testing.assert_allclose(np.asarray(coords), ref, rtol=1e-4, atol=1e-3)
+
+
+@pytest.mark.parametrize("flip", [False, True])
+def test_warp_separable_matches_cv2(flip, rng):
+    """Axis-aligned (rot=0, optional flip) separable warp vs cv2."""
+    from infantposeestimation_gaussianbias_tpu.data.transforms import (
+        affine_matrix_np,
+        compose_flip,
+    )
+    img = rng.randint(0, 255, (240, 320, 3)).astype(np.float32)
+    center = np.array([170.0, 110.0], np.float32)
+    scale = np.array([210.0, 280.0], np.float32)
+    out_w, out_h = 96, 128
+    mat = affine_matrix_np(center, scale, (out_w, out_h), 0.0)
+    if flip:
+        mat = compose_flip(mat, img.shape[1])
+    ref = cv2.warpAffine(img, mat.astype(np.float64), (out_w, out_h),
+                         flags=cv2.INTER_LINEAR)
+    ours = np.asarray(ops.affine.warp_affine_separable(
+        jnp.asarray(img)[None], jnp.asarray(mat)[None], out_w, out_h))[0]
+    assert np.mean(np.abs(ours - ref)) < 0.5
+    assert np.max(np.abs(ours - ref)) < 8.0
