@@ -78,6 +78,8 @@ class ModelConfig:
     norm: str = "batchnorm"
     # Parameter / activation dtype policy: "float32" or "bfloat16".
     compute_dtype: str = "bfloat16"
+    # Use the fused Pallas window-MSA kernel in HRFormer (TPU only).
+    use_pallas: bool = False
     # Loss selection + the six fusion-loss term weights
     # (ref configs/config.py:63-72).
     use_target_weight: bool = True

@@ -1,0 +1,83 @@
+"""Pallas TPU kernel: fused window multi-head self-attention.
+
+The XLA path (ops/msa.py) materializes the (nW, heads, N, N) attention
+scores in HBM between the QK and PV matmuls — for HRFormer stage 3 at
+batch 256 that is hundreds of MB of round-trip traffic per block.  This
+kernel fuses scale -> QK^T -> +RPE bias -> softmax -> PV entirely in VMEM:
+each grid cell owns (one head x a block of windows), the bias tile loads
+once per head, and the scores never leave the chip (the kernel design from
+SURVEY.md section 5.7).
+
+Contract matches ops.msa.window_attention:
+  q, k, v: (nW, num_heads, N, head_dim);  bias: (num_heads, N, N) or None
+  returns  (nW, num_heads, N, head_dim)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
+    # Blocks: q/k/v (1, GB, N, hd); bias (1, N, N).
+    q = q_ref[0].astype(jnp.float32) * scale          # (GB, N, hd)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)           # (GB, N, N)
+    s = s + bias_ref[0].astype(jnp.float32)[None]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jax.lax.dot_general(
+        p, v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)           # (GB, N, hd)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_windows",))
+def window_attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    block_windows: int = 16,
+) -> jnp.ndarray:
+    """Fused W-MSA. Grid = (heads, window blocks); one head's RPE bias tile
+    stays resident while its window blocks stream through VMEM."""
+    nW, H, N, hd = q.shape
+    if bias is None:
+        bias = jnp.zeros((H, N, N), jnp.float32)
+
+    GB = min(block_windows, max(nW, 1))
+    pad = (-nW) % GB
+    # (nW, H, N, hd) -> (H, nW_padded, N, hd): windows of one head contiguous.
+    def arrange(x):
+        x = jnp.swapaxes(x, 0, 1)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return x
+
+    qa, ka, va = arrange(q), arrange(k), arrange(v)
+    nWp = nW + pad
+    grid = (H, nWp // GB)
+
+    qkv_spec = pl.BlockSpec((1, GB, N, hd), lambda h, w: (h, w, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=hd**-0.5),
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec,
+                  pl.BlockSpec((1, N, N), lambda h, w: (h, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((H, nWp, N, hd), v.dtype),
+    )(qa, ka, va, bias)
+
+    out = out[:, :nW]
+    return jnp.swapaxes(out, 0, 1)

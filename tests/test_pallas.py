@@ -1,0 +1,55 @@
+"""Pallas kernel parity tests (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from infantposeestimation_gaussianbias_tpu.ops import msa
+from infantposeestimation_gaussianbias_tpu.ops.pallas.window_msa import (
+    window_attention_pallas,
+)
+
+
+@pytest.mark.parametrize("nW,H,N,hd", [(70, 2, 49, 39), (12, 4, 49, 32),
+                                       (5, 1, 16, 8)])
+def test_window_attention_pallas_parity(nW, H, N, hd, rng):
+    q = jnp.asarray(rng.randn(nW, H, N, hd).astype(np.float32))
+    k = jnp.asarray(rng.randn(nW, H, N, hd).astype(np.float32))
+    v = jnp.asarray(rng.randn(nW, H, N, hd).astype(np.float32))
+    bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32))
+    ref = msa.window_attention(q, k, v, bias)
+    with pltpu.force_tpu_interpret_mode():
+        out = window_attention_pallas(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_window_attention_pallas_no_bias(rng):
+    q = jnp.asarray(rng.randn(8, 2, 49, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(8, 2, 49, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(8, 2, 49, 16).astype(np.float32))
+    ref = msa.window_attention(q, k, v, None)
+    with pltpu.force_tpu_interpret_mode():
+        out = window_attention_pallas(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_window_partition_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 17, 13, 8).astype(np.float32))
+    wins, (Hp, Wp) = msa.window_partition(x, 7)
+    assert Hp == 21 and Wp == 14
+    assert wins.shape == (2 * 3 * 2, 49, 8)
+    back = msa.window_reverse(wins.reshape(-1, 7, 7, 8), 7, 17, 13, Hp, Wp)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index():
+    idx = msa.relative_position_index(7)
+    assert idx.shape == (49, 49)
+    assert idx.min() >= 0 and idx.max() < 13 * 13
+    # symmetry: rel(a, b) and rel(b, a) mirror through the table center
+    assert idx[0, 0] == idx[48, 48]
