@@ -23,6 +23,8 @@ from ..models import build_model, flip_inference
 from ..ops import decode as decode_ops
 from ..parallel import create_mesh, shard_batch
 from .checkpoint import CheckpointManager
+from .logging import MetricsWriter
+from .optim import build_optimizer
 from .step import create_train_state, make_train_step
 
 log = logging.getLogger("ipe_tpu.train")
@@ -106,6 +108,8 @@ def train(cfg: Config, train_loader: DataLoader,
     mean, std = cfg.data.pixel_mean, cfg.data.pixel_std
     epochs = max_epochs if max_epochs is not None else cfg.train.max_epochs
     dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    _, lr_schedule = build_optimizer(cfg, steps_per_epoch)
+    writer = MetricsWriter(cfg.log_dir)
 
     for epoch in range(start_epoch, epochs):
         logger = MetricLogger()
@@ -118,7 +122,9 @@ def train(cfg: Config, train_loader: DataLoader,
             state, metrics = step_fn(state, db, sub)
             if (i + 1) % cfg.train.log_interval == 0 or i == 0:
                 scalars = {k: float(v) for k, v in metrics.items()}
+                scalars["lr"] = float(lr_schedule(int(state.step)))
                 logger.update(**scalars)
+                writer.write(int(state.step), scalars, prefix="train/")
                 log.info("epoch %d [%d/%d] %s", epoch, i + 1,
                          steps_per_epoch,
                          " ".join(f"{k}={v:.4f}"
@@ -131,6 +137,7 @@ def train(cfg: Config, train_loader: DataLoader,
                 (epoch + 1) % cfg.train.val_interval == 0):
             results = validate(cfg, state, val_loader, gt_dataset, mesh)
             metrics_out.update(results)
+            writer.write(int(state.step), results, prefix="val/")
         best, is_best = ckpt.save(state, epoch, metrics_out, best,
                                   monitor=cfg.train.save_best)
         if is_best:

@@ -175,3 +175,40 @@ def test_pck_and_clinical_metrics():
     noisy = calculate_temporal_consistency(
         traj + np.random.RandomState(1).randn(50, 13, 2) * 5)
     assert smooth > noisy
+
+
+def test_postprocess_toolbox():
+    import jax.numpy as jnp
+
+    from infantposeestimation_gaussianbias_tpu.postprocess import (
+        filter_low_confidence,
+        nms_pose,
+        postprocess_predictions,
+    )
+
+    rng = np.random.RandomState(0)
+    preds = jnp.asarray(rng.uniform(0, 100, (2, 13, 2)).astype(np.float32))
+    conf = jnp.asarray(rng.uniform(0, 1, (2, 13)).astype(np.float32))
+    out, mask = filter_low_confidence(preds, conf, 0.5)
+    assert np.all(np.asarray(out)[np.asarray(conf) <= 0.5] == 0)
+
+    # NMS: two keypoints 1px apart, keep the more confident
+    pts = np.zeros((1, 3, 2), np.float32)
+    pts[0, 1] = [1.0, 0.0]
+    pts[0, 2] = [50.0, 50.0]
+    cf = np.array([[0.4, 0.9, 0.8]], np.float32)
+    kept, keep = nms_pose(jnp.asarray(pts), jnp.asarray(cf), 5.0)
+    keep = np.asarray(keep)[0]
+    assert not keep[0] and keep[1] and keep[2]
+
+    hm = rng.uniform(0, 1, (2, 64, 64, 13)).astype(np.float32)
+    meta = {
+        "center": jnp.asarray(rng.uniform(100, 200, (2, 2)).astype(np.float32)),
+        "scale": jnp.asarray(rng.uniform(100, 300, (2, 2)).astype(np.float32)),
+    }
+    res = postprocess_predictions(
+        {"heatmaps": jnp.asarray(hm),
+         "coords": jnp.asarray(rng.uniform(0, 1, (2, 13, 2)).astype(np.float32))},
+        meta)
+    assert res["preds"].shape == (2, 13, 2)
+    assert res["mask"].shape == (2, 13)
