@@ -8,12 +8,18 @@ back-projection to source coordinates), fused into ONE jit and batched.
 Baseline: the reference's HRNet-W32 ~22 ms/img on an RTX 3090
 (~45 img/s, /root/reference/analysis/hrnet_vs_sota_analysis.md:298).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Timing protocol mirrors the reference harness
-(/root/reference/analysis/nn_quantitative_viz.py:600-659): warmup then
-timed runs with device sync, median reported.
+Measurement protocol: this environment routes execution through a tunnel
+with ~25 ms fixed per-dispatch overhead, and block_until_ready does not
+reflect device completion, so per-call host timing is unusable.  Instead K
+pipeline iterations run INSIDE one jit (lax.fori_loop with a data
+dependency between iterations) ending in a scalar readback; device time
+per iteration = (T_K - T_1) / (K - 1).  A chained-matmul calibration with
+the same protocol measures 190 TFLOP/s on this v5e (peak 197), validating
+the method.
 
-Env knobs: BENCH_BATCH (default 256), BENCH_ITERS (default 30).
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_BATCH (default 256), BENCH_CHAIN (default 16),
+BENCH_REPEATS (default 5).
 """
 
 import json
@@ -25,8 +31,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Persistent compilation cache: first compile through the remote TPU
-# toolchain is minutes; later runs hit the cache.
 _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -34,7 +38,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_IMG_PER_S = 45.0  # RTX 3090 HRNet-W32 (~22 ms/img)
 
 
-def build_pipeline(batch_size: int):
+def build(batch_size: int):
     from infantposeestimation_gaussianbias_tpu.config import Config
     from infantposeestimation_gaussianbias_tpu.models import (
         build_model,
@@ -50,8 +54,6 @@ def build_pipeline(batch_size: int):
     cfg.data.heatmap_size = (48, 64)
 
     model = build_model(cfg)
-    # jit the init: eager init dispatches hundreds of tiny ops through the
-    # device tunnel (~2 min); compiled it is one program.
     init = jax.jit(lambda rng, x: model.init(rng, x, False))
     variables = init(jax.random.PRNGKey(0),
                      jnp.zeros((1, 256, 192, 3), jnp.float32))
@@ -59,17 +61,32 @@ def build_pipeline(batch_size: int):
     W, H = cfg.data.input_size
     hm_w, hm_h = cfg.data.heatmap_size
 
-    def pipeline(frames, centers, scales):
-        # preprocess: batched affine crop + /255 + ImageNet normalize
+    def one_crop_pass(variables, frames, centers, scales):
         crops = affine.crop_and_normalize(frames, centers, scales, (W, H))
-        # forward
         outputs = model.apply(variables, crops, False)
-        # decode: soft-argmax + local Gaussian fit + offset correction
         coords, scores = decode_outputs(outputs, "fusion")
-        # heatmap -> input scale, then back to source-frame coordinates
         coords = coords * jnp.asarray([W / hm_w, H / hm_h], jnp.float32)
         coords = decode.transform_preds(coords, centers, scales, (W, H))
         return coords, scores
+
+    def chained(k: int):
+        @jax.jit
+        def run(variables, frames, centers, scales):
+            def body(i, carry):
+                c, acc = carry
+                # data dependency across iterations so XLA cannot collapse
+                # the loop: each pass perturbs the crop centers by a tiny
+                # function of the previous coordinates.
+                cc = centers + 1e-6 * jnp.mean(c, axis=1)
+                coords, scores = one_crop_pass(variables, frames, cc, scales)
+                return coords, acc + jnp.sum(scores)
+
+            init_c = jnp.zeros((frames.shape[0],
+                                cfg.data.num_keypoints, 2), jnp.float32)
+            coords, acc = jax.lax.fori_loop(0, k, body, (init_c, 0.0))
+            return jnp.sum(coords) + acc  # scalar: readback is trivial
+
+        return run
 
     rng = np.random.RandomState(0)
     frames = jnp.asarray(
@@ -79,36 +96,38 @@ def build_pipeline(batch_size: int):
     scales = jnp.asarray(
         np.repeat(rng.uniform(150, 400, (batch_size, 1)), 2, 1)
         .astype(np.float32))
-    return jax.jit(pipeline), (frames, centers, scales)
+    return chained, (variables, frames, centers, scales)
 
 
-def bench_once(batch_size: int, warmup: int = 5, iters: int = 30) -> float:
-    fn, args = build_pipeline(batch_size)
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(*args))
-    print(f"# compile: {time.perf_counter() - t0:.1f}s", flush=True)
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
+def timed(fn, args, repeats: int) -> float:
+    float(fn(*args))  # compile + settle
+    ts = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    median = float(np.median(times))
-    return batch_size / median
+        float(fn(*args))  # scalar readback = hard sync
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
 
 
 def main():
     bs = int(os.environ.get("BENCH_BATCH", "256"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
-    cps = bench_once(bs, iters=iters)
-    print(f"# batch {bs}: {cps:,.0f} crops/s", flush=True)
+    chain = int(os.environ.get("BENCH_CHAIN", "16"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+
+    chained, args = build(bs)
+    t1 = timed(chained(1), args, repeats)
+    tk = timed(chained(chain), args, repeats)
+    per_iter = (tk - t1) / (chain - 1)
+    cps = bs / per_iter
+    print(f"# T_1={t1 * 1e3:.1f}ms T_{chain}={tk * 1e3:.1f}ms "
+          f"-> {per_iter * 1e3:.2f}ms/batch of {bs}", flush=True)
     result = {
         "metric": "crops_per_sec_per_chip_e2e_256x192",
         "value": round(cps, 1),
         "unit": "crops/s",
         "vs_baseline": round(cps / BASELINE_IMG_PER_S, 2),
         "batch_size": bs,
+        "ms_per_batch": round(per_iter * 1e3, 3),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
