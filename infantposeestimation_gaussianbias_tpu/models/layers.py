@@ -128,12 +128,38 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+def _resize_weights(out_size: int, in_size: int) -> jnp.ndarray:
+    """(out, in) bilinear resampling matrix, half-pixel convention with
+    edge clamping (torch F.interpolate align_corners=False semantics)."""
+    import numpy as np
+
+    dst = np.arange(out_size, dtype=np.float64)
+    src = np.clip((dst + 0.5) * (in_size / out_size) - 0.5, 0, in_size - 1)
+    grid = np.arange(in_size, dtype=np.float64)
+    w = np.maximum(0.0, 1.0 - np.abs(src[:, None] - grid[None, :]))
+    return jnp.asarray(w, jnp.float32)
+
+
 def resize_bilinear(x: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-    """Bilinear NHWC resize with half-pixel centers — the jax.image
-    equivalent of the reference's F.interpolate(mode='bilinear',
-    align_corners=False) (/root/reference/models/hrnet.py:218-221)."""
-    B, _, _, C = x.shape
-    return jax.image.resize(x, (B, height, width, C), method="bilinear")
+    """Bilinear NHWC resize with half-pixel centers, equivalent to the
+    reference's F.interpolate(mode='bilinear', align_corners=False)
+    (/root/reference/models/hrnet.py:218-221).
+
+    Implemented as two matmuls against constant resampling matrices —
+    on TPU this rides the MXU instead of the gather path jax.image.resize
+    lowers to, which matters because HRNet fuse layers resize every
+    branch of every exchange module.
+    """
+    B, H, W, C = x.shape
+    if H == height and W == width:
+        return x
+    wy = _resize_weights(height, H).astype(x.dtype)   # (out_h, H)
+    wx = _resize_weights(width, W).astype(x.dtype)    # (out_w, W)
+    out = jnp.einsum("oh,bhwc->bowc", wy, x,
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,bowc->bopc", wx, out.astype(x.dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 class DropPath(nn.Module):

@@ -115,6 +115,80 @@ def create_clinical_report_figure(trajectory: np.ndarray,
     return fig
 
 
+def plot_pseudo_3d_pose(keypoints: np.ndarray,
+                        scores: Optional[np.ndarray] = None,
+                        schema: KeypointSchema = INFANT13,
+                        out_path: Optional[str] = None):
+    """Pseudo-3D pose plot: confidence as the z axis
+    (ref visualization.py pseudo-3D plot)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    z = scores if scores is not None else np.ones(len(keypoints))
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.scatter(keypoints[:, 0], keypoints[:, 1], z, c=z, cmap="viridis")
+    for (i, j) in schema.skeleton:
+        ax.plot([keypoints[i, 0], keypoints[j, 0]],
+                [keypoints[i, 1], keypoints[j, 1]],
+                [z[i], z[j]], alpha=0.6)
+    ax.invert_yaxis()
+    ax.set_zlabel("confidence")
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_joint_position_heatmaps(trajectory: np.ndarray,
+                                 schema: KeypointSchema = INFANT13,
+                                 bins: int = 24,
+                                 out_path: Optional[str] = None):
+    """Per-joint 2D position-density heatmaps over a trajectory
+    (ref visualization.py per-joint position heatmaps)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    K = schema.num_keypoints
+    cols = 5
+    rows = -(-K // cols)
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 2.6 * rows))
+    for k in range(K):
+        ax = axes.flat[k]
+        ax.hist2d(trajectory[:, k, 0], trajectory[:, k, 1], bins=bins)
+        ax.invert_yaxis()
+        ax.set_title(schema.keypoint_names[k], fontsize=8)
+    for k in range(K, rows * cols):
+        axes.flat[k].axis("off")
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_confidence_over_time(scores: np.ndarray, fps: float = 30.0,
+                              schema: KeypointSchema = INFANT13,
+                              out_path: Optional[str] = None):
+    """Per-joint confidence timelines (ref visualization.py)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(9, 4))
+    t = np.arange(len(scores)) / fps
+    for k in range(scores.shape[1]):
+        ax.plot(t, scores[:, k], label=schema.keypoint_names[k], alpha=0.6)
+    ax.set_xlabel("time (s)")
+    ax.set_ylabel("confidence")
+    ax.legend(fontsize=6, ncol=3)
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def create_video_with_pose(video_path: str, trajectory: np.ndarray,
                            scores: np.ndarray, out_path: str,
                            schema: KeypointSchema = INFANT13,

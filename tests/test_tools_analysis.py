@@ -190,3 +190,59 @@ def test_introspection_suite():
 
     unc = mc_droppath_uncertainty(model, variables, x, n_samples=3)
     assert unc["mean"].shape == unc["std"].shape
+
+
+def test_plots_smoke(tmp_path):
+    from infantposeestimation_gaussianbias_tpu.analysis.plots import (
+        plot_accuracy_heatmap,
+        plot_calibration,
+        plot_error_histogram,
+        plot_gradient_flow,
+        plot_pck_curves,
+        plot_pr_curve,
+        plot_training_curves,
+    )
+    from infantposeestimation_gaussianbias_tpu.analysis import (
+        confidence_calibration,
+    )
+    from infantposeestimation_gaussianbias_tpu.viz.clinical import (
+        plot_confidence_over_time,
+        plot_joint_position_heatmaps,
+        plot_pseudo_3d_pose,
+    )
+    from infantposeestimation_gaussianbias_tpu.schemas import INFANT13
+
+    rng = np.random.RandomState(0)
+    gt = rng.uniform(0, 100, (8, 17, 2))
+    pred = gt + rng.randn(8, 17, 2) * 3
+    mask = np.ones((8, 17))
+    norm = np.full(8, 100.0)
+    plot_pck_curves(pred, gt, mask, norm, COCO17.keypoint_names,
+                    out_path=str(tmp_path / "pck.png"))
+    plot_accuracy_heatmap(rng.uniform(0, 1, 17), COCO17.keypoint_names,
+                          out_path=str(tmp_path / "acc.png"))
+    plot_error_histogram(np.abs(rng.randn(8, 17)), mask,
+                         out_path=str(tmp_path / "err.png"))
+    plot_pr_curve(rng.uniform(0, 1, 100), rng.randint(0, 2, 100),
+                  out_path=str(tmp_path / "pr.png"))
+    cal = confidence_calibration(rng.uniform(0, 1, 100),
+                                 rng.randint(0, 2, 100))
+    plot_calibration(cal, out_path=str(tmp_path / "cal.png"))
+
+    jl = tmp_path / "metrics.jsonl"
+    jl.write_text('{"step": 1, "time": 0, "loss": 1.0}\n'
+                  '{"step": 2, "time": 1, "loss": 0.5}\n')
+    plot_training_curves(str(jl), out_path=str(tmp_path / "curves.png"))
+    plot_gradient_flow({"a/kernel": 1.0, "b/kernel": 0.1},
+                       out_path=str(tmp_path / "gf.png"))
+
+    traj = rng.uniform(0, 100, (30, 13, 2))
+    scores = rng.uniform(0, 1, (30, 13))
+    plot_pseudo_3d_pose(traj[0], scores[0], INFANT13,
+                        out_path=str(tmp_path / "p3d.png"))
+    plot_joint_position_heatmaps(traj, INFANT13,
+                                 out_path=str(tmp_path / "jh.png"))
+    plot_confidence_over_time(scores, 30.0, INFANT13,
+                              out_path=str(tmp_path / "conf.png"))
+    assert (tmp_path / "pck.png").exists()
+    assert (tmp_path / "p3d.png").exists()
