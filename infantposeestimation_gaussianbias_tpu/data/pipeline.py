@@ -67,7 +67,8 @@ class PoseDataset:
             rng = np.random.RandomState(
                 (seed * 1_000_003 + epoch * 7919 + idx) % (2**31 - 1))
             sample = T.train_transform(rng, sample, img.shape[1],
-                                       self.schema, self.cfg.data)
+                                       self.schema, self.cfg.data,
+                                       img_h=img.shape[0])
         else:
             sample = T.val_transform(sample, img.shape[1], self.cfg.data)
 

@@ -66,6 +66,32 @@ def random_flip(rng: np.random.RandomState, sample: Dict, img_w: int,
     return sample
 
 
+def random_vertical_flip(rng: np.random.RandomState, sample: Dict,
+                         img_h: int, prob: float = 0.0) -> Dict:
+    """Vertical flip (Stack-B RandomFlip supports it,
+    /root/reference/data/pose_transforms.py:81-136). No keypoint swap —
+    up/down symmetry does not exchange left/right joints."""
+    if prob <= 0 or rng.random_sample() >= prob:
+        return sample
+    kpts = sample["keypoints"].copy()
+    center = sample["center"].copy()
+    kpts[:, 1] = img_h - 1 - kpts[:, 1]
+    center[1] = img_h - 1 - center[1]
+    sample = dict(sample)
+    sample["keypoints"] = kpts
+    sample["center"] = center
+    sample["vflipped"] = True
+    return sample
+
+
+def compose_vflip(mat: np.ndarray, img_h: int) -> np.ndarray:
+    """Compose a vertical source-image flip under an affine crop matrix."""
+    out = mat.copy()
+    out[:, 2] = mat[:, 1] * (img_h - 1) + mat[:, 2]
+    out[:, 1] = -mat[:, 1]
+    return out
+
+
 def random_half_body(rng: np.random.RandomState, sample: Dict,
                      schema: KeypointSchema, prob: float = 0.3,
                      min_keypoints: int = 3) -> Dict:
@@ -135,6 +161,8 @@ def finalize_affine(sample: Dict, input_size: Tuple[int, int],
     vis[mask & oob] = 0.0
 
     warp_mat = compose_flip(mat, img_w) if sample.get("flipped") else mat
+    if sample.get("vflipped"):
+        warp_mat = compose_vflip(warp_mat, sample["img_h"])
     out = dict(sample)
     out["keypoints"] = kpts
     out["visible"] = vis
@@ -143,10 +171,15 @@ def finalize_affine(sample: Dict, input_size: Tuple[int, int],
 
 
 def train_transform(rng: np.random.RandomState, sample: Dict, img_w: int,
-                    schema: KeypointSchema, cfg_data) -> Dict:
+                    schema: KeypointSchema, cfg_data,
+                    img_h: int | None = None) -> Dict:
     """Full training pipeline (ref transforms.py:300-315):
-    flip -> half-body -> scale/rotate[/shift] -> affine."""
+    flip [+vflip] -> half-body -> scale/rotate[/shift] -> affine."""
     s = random_flip(rng, sample, img_w, schema, cfg_data.flip_prob)
+    if img_h is not None and cfg_data.vertical_flip_prob > 0:
+        s = dict(random_vertical_flip(rng, s, img_h,
+                                      cfg_data.vertical_flip_prob))
+        s["img_h"] = img_h
     s = random_half_body(rng, s, schema, cfg_data.half_body_prob)
     s = random_bbox_transform(
         rng, s, tuple(cfg_data.scale_factor), cfg_data.rotation_factor,

@@ -97,3 +97,46 @@ def test_bfloat16_compute():
     leaf = jax.tree_util.tree_leaves(variables["params"])[0]
     assert leaf.dtype == jnp.float32
     assert out["heatmaps"].dtype == jnp.float32
+
+
+def test_multiscale_flip_inference():
+    from infantposeestimation_gaussianbias_tpu.models.pose_estimator import (
+        multiscale_flip_inference,
+    )
+    from infantposeestimation_gaussianbias_tpu.schemas import COCO17
+
+    model = PoseEstimator(backbone_name="litehrnet", head_type="heatmap",
+                          num_keypoints=17)
+    x = jnp.zeros((2, 64, 48, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    flip_idx = jnp.asarray(COCO17.flip_index())
+    coords, scores = multiscale_flip_inference(
+        model.apply, variables, x, flip_idx, "heatmap",
+        scales=(1.0, 1.5), flip=True)
+    assert coords.shape == (2, 17, 2)
+    assert scores.shape == (2, 17)
+
+
+def test_vertical_flip_transform():
+    from infantposeestimation_gaussianbias_tpu.data import transforms as T
+
+    rng_local = np.random.RandomState(0)
+    sample = {
+        "keypoints": np.array([[10.0, 20.0], [30.0, 90.0]], np.float32),
+        "visible": np.ones(2, np.float32),
+        "center": np.array([50.0, 60.0], np.float32),
+        "scale": np.array([80.0, 80.0], np.float32),
+    }
+    out = T.random_vertical_flip(rng_local, sample, img_h=100, prob=1.0)
+    np.testing.assert_allclose(out["keypoints"][:, 1], [79.0, 9.0])
+    np.testing.assert_allclose(out["center"][1], 39.0)
+    assert out.get("vflipped")
+
+    # composed matrix equals warping the vertically flipped image
+    import cv2
+    img = rng_local.randint(0, 255, (100, 120, 3)).astype(np.uint8)
+    mat = T.affine_matrix_np(out["center"], out["scale"], (64, 64), 0.0)
+    ref = cv2.warpAffine(img[::-1].copy(), mat.astype(np.float64), (64, 64))
+    ours = cv2.warpAffine(img, T.compose_vflip(mat, 100).astype(np.float64),
+                          (64, 64))
+    assert np.mean(np.abs(ours.astype(float) - ref.astype(float))) < 1.0
