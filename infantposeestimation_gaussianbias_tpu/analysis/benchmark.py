@@ -56,6 +56,19 @@ def benchmark_pipeline(sample_fn: Callable[[int], object],
     }
 
 
+def profile_trace(fn: Callable, *args, trace_dir: str = "/tmp/jax_trace",
+                  iters: int = 3):
+    """Capture an XProf trace of `fn` (jax.profiler equivalent of the
+    reference's manual timing hooks, SURVEY.md section 5.1).  View with
+    TensorBoard or xprof on the returned directory."""
+    fn(*args)  # warm/compile outside the trace
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    return trace_dir
+
+
 def benchmark_model(cfg, batch_size: int = 64, warmup: int = 10,
                     runs: int = 100) -> Dict[str, float]:
     """Build the config's model and benchmark its jitted forward."""

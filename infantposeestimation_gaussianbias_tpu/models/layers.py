@@ -49,34 +49,69 @@ class ConvNorm(nn.Module):
         return x
 
 
+class BatchNorm(nn.Module):
+    """BatchNorm with f32 statistics and compute-dtype inference affine.
+
+    torch BatchNorm2d semantics (eps=1e-5, running-stat update
+    ra = 0.9*ra + 0.1*batch).  Training computes batch statistics in f32
+    over the (global, under GSPMD) batch.  Inference folds (scale, bias,
+    mean, var) into a single per-channel (a, b) — computed in f32 but
+    applied in the activation dtype, so on a bf16 model no f32 activation
+    tensor ever hits HBM (the dominant backbone bandwidth cost).
+    """
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(C, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(C, jnp.float32))
+
+        if train:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return (x * a.astype(x.dtype) + b.astype(x.dtype)).astype(x.dtype) \
+            if not train else \
+            ((x.astype(jnp.float32) * a + b)).astype(x.dtype)
+
+
 class Norm(nn.Module):
-    """Norm wrapper running in float32 regardless of compute dtype."""
+    """Norm selector: custom BatchNorm (reference parity) or GroupNorm."""
 
     kind: str = "batchnorm"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
         if self.kind == "batchnorm":
-            # torch BatchNorm2d defaults: eps=1e-5, momentum=0.1
-            # (flax momentum convention is 1 - torch's).
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                name="bn",
-            )(x)
-        elif self.kind == "groupnorm":
+            return BatchNorm(name="bn")(x, train)
+        if self.kind == "groupnorm":
             groups = min(32, x.shape[-1])
             while x.shape[-1] % groups:
                 groups -= 1
-            x = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
-                             dtype=jnp.float32, name="gn")(x)
-        else:
-            raise ValueError(f"Unknown norm {self.kind!r}")
-        return x.astype(orig_dtype)
+            orig = x.dtype
+            y = nn.GroupNorm(num_groups=groups, epsilon=1e-5,
+                             dtype=jnp.float32,
+                             name="gn")(x.astype(jnp.float32))
+            return y.astype(orig)
+        raise ValueError(f"Unknown norm {self.kind!r}")
 
 
 def make_norm(kind: str, name: str) -> Norm:

@@ -71,8 +71,11 @@ class PoseEstimator(nn.Module):
 
     def __call__(self, x: jnp.ndarray, train: bool = False
                  ) -> Dict[str, jnp.ndarray]:
-        feats = self.backbone(x.astype(self.dtype), train)
-        return self.head(feats, train)
+        # named_scope -> XProf trace sections (SURVEY.md section 5.1)
+        with jax.named_scope("backbone"):
+            feats = self.backbone(x.astype(self.dtype), train)
+        with jax.named_scope("head"):
+            return self.head(feats, train)
 
 
 def build_model(cfg) -> PoseEstimator:

@@ -140,3 +140,38 @@ def test_vertical_flip_transform():
     ours = cv2.warpAffine(img, T.compose_vflip(mat, 100).astype(np.float64),
                           (64, 64))
     assert np.mean(np.abs(ours.astype(float) - ref.astype(float))) < 1.0
+
+
+def test_custom_batchnorm_matches_flax():
+    """Our BatchNorm must match flax nn.BatchNorm in both modes."""
+    from flax import linen as nn
+    from infantposeestimation_gaussianbias_tpu.models.layers import BatchNorm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 6, 5, 4).astype(np.float32)) * 3 + 1
+
+    ours = BatchNorm()
+    theirs = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                          epsilon=1e-5)
+    v1 = ours.init(jax.random.PRNGKey(0), x, True)
+    v2 = theirs.init(jax.random.PRNGKey(0), x)
+
+    o1, m1 = ours.apply(v1, x, True, mutable=["batch_stats"])
+    o2, m2 = theirs.apply(v2, x, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(m1["batch_stats"]["mean"]),
+                               np.asarray(m2["batch_stats"]["mean"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1["batch_stats"]["var"]),
+                               np.asarray(m2["batch_stats"]["var"]),
+                               rtol=1e-3, atol=1e-5)
+
+    # eval mode with the updated stats
+    v1e = {"params": v1["params"], "batch_stats": m1["batch_stats"]}
+    v2e = {"params": v2["params"], "batch_stats": m2["batch_stats"]}
+    e1 = ours.apply(v1e, x, False)
+    e2 = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                      epsilon=1e-5).apply(v2e, x)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2),
+                               rtol=2e-4, atol=2e-4)
