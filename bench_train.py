@@ -1,0 +1,92 @@
+"""Training-step throughput benchmark (crops/sec/chip, fused train step).
+
+Companion to bench.py for the training path: on-device Gaussian target
+generation + bf16 forward + 6-term fusion loss + backward + AdamW update,
+measured with the same chained-fori protocol (see bench.py for why).
+
+Prints one JSON line. Env knobs: BENCH_BATCH (128), BENCH_CHAIN (8).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    from infantposeestimation_gaussianbias_tpu.config import Config
+    from infantposeestimation_gaussianbias_tpu.models import build_model
+    from infantposeestimation_gaussianbias_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "128"))
+    K_CHAIN = int(os.environ.get("BENCH_CHAIN", "8"))
+
+    cfg = Config()
+    cfg.model.backbone = "hrnet_w32"
+    cfg.model.head_type = "fusion"
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.train.steps_per_epoch = 1000
+
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = make_train_step(cfg, cfg.data.keypoint_schema)
+
+    rng = np.random.RandomState(0)
+    K = cfg.data.num_keypoints
+    batch = {
+        "image": jnp.asarray(rng.randn(B, 256, 192, 3).astype(np.float32)),
+        "keypoints": jnp.asarray(
+            rng.uniform(10, 180, (B, K, 2)).astype(np.float32)),
+        "visible": jnp.ones((B, K), jnp.float32),
+    }
+
+    def chained(k):
+        @jax.jit
+        def run(state, batch, key):
+            def body(i, carry):
+                st, acc = carry
+                st, metrics = step(st, batch, jax.random.fold_in(key, i))
+                return st, acc + metrics["total_loss"]
+            st, acc = jax.lax.fori_loop(0, k, body, (state, 0.0))
+            return acc
+        return run
+
+    args = (state, batch, jax.random.PRNGKey(1))
+
+    def timed(fn, reps=4):
+        float(fn(*args))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1 = timed(chained(1))
+    tk = timed(chained(K_CHAIN))
+    per = (tk - t1) / (K_CHAIN - 1)
+    print(f"# T_1={t1 * 1e3:.1f}ms T_{K_CHAIN}={tk * 1e3:.1f}ms "
+          f"-> {per * 1e3:.2f}ms/step of {B}", flush=True)
+    print(json.dumps({
+        "metric": "train_crops_per_sec_per_chip_256x192",
+        "value": round(B / per, 1),
+        "unit": "crops/s",
+        "batch_size": B,
+        "ms_per_step": round(per * 1e3, 2),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -40,14 +40,21 @@ def setup_logging(log_file: Optional[str] = None) -> None:
 
 
 def validate(cfg: Config, state, loader: DataLoader,
-             gt_dataset: Dict, mesh=None) -> Dict[str, float]:
-    """Flip-test validation -> COCO AP (ref validate.py:39-140)."""
+             gt_dataset: Dict, mesh=None,
+             with_loss: bool = True) -> Dict[str, float]:
+    """Flip-test validation -> COCO AP + val loss (ref validate.py:39-140;
+    the reference runs an extra loss-only forward per batch — here the loss
+    shares the unflipped forward inside one jit)."""
+    from .step import make_eval_step
+
     schema = cfg.data.keypoint_schema
     flip_idx = jnp.asarray(schema.flip_index())
     evaluator = COCOEvaluator(schema.oks_sigma_array(), gt_dataset)
     mean, std = cfg.data.pixel_mean, cfg.data.pixel_std
     W, H = cfg.data.input_size
     hm_w, hm_h = cfg.data.heatmap_size
+    eval_step = jax.jit(make_eval_step(cfg, schema)) if with_loss else None
+    loss_meter = MetricLogger()
 
     @jax.jit
     def infer_batch(variables, images, centers, scales):
@@ -70,8 +77,14 @@ def validate(cfg: Config, state, loader: DataLoader,
                                      db["center"], db["scale"])
         evaluator.update(batch["image_id"], np.asarray(coords),
                          np.asarray(scores), valid=batch["valid"] > 0)
+        if eval_step is not None:
+            _, terms = eval_step(state, db)
+            loss_meter.update(n=int(batch["valid"].sum()),
+                              val_loss=float(terms["total_loss"]))
         n += int(batch["valid"].sum())
     results = evaluator.evaluate()
+    if eval_step is not None:
+        results.update(loss_meter.summary())
     log.info("validated %d samples in %.1fs: AP=%.4f AP50=%.4f AP75=%.4f "
              "AR=%.4f", n, time.time() - t0, results["AP"],
              results["AP50"], results["AP75"], results["AR"])
