@@ -110,7 +110,7 @@ def timed(fn, args, repeats: int) -> float:
 
 
 def main():
-    bs = int(os.environ.get("BENCH_BATCH", "256"))
+    bs = int(os.environ.get("BENCH_BATCH", "512"))
     chain = int(os.environ.get("BENCH_CHAIN", "16"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
 
