@@ -12,7 +12,7 @@ occlusion sensitivity, Grad-CAM on backbone features, and MC-dropout
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ lightweight greedy-AP fallback for quick checks.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

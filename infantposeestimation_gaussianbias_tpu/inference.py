@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import Config
-from .models import build_model, decode_outputs, flip_inference
+from .models import build_model, flip_inference
 from .ops import decode as decode_ops
 from .train.checkpoint import CheckpointManager
 from .train.step import create_train_state

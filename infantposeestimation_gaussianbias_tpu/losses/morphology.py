@@ -17,7 +17,7 @@ normalized to [0, 1] (the Stack-B dataset convention).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ Stage layout (identical to the reference):
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -10,7 +10,7 @@ or GroupNorm for sync-free scaling).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp

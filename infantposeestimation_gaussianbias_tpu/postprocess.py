@@ -8,7 +8,7 @@ postprocess_predictions pipeline (:296-336).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
