@@ -20,21 +20,60 @@ def main(argv=None):
     parser.add_argument("--epochs", type=int, default=None,
                         help="override max epochs")
     parser.add_argument("--no-val", action="store_true")
+    parser.add_argument("--synthetic", type=int, default=0, metavar="N",
+                        help="train on N synthetic images (smoke test, "
+                             "no COCO data needed)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
     os.makedirs(cfg.log_dir, exist_ok=True)
     setup_logging(os.path.join(cfg.log_dir, f"{cfg.exp_name}.log"))
 
-    train_loader = build_dataloader(cfg, is_train=True)
-    val_loader, gt = None, None
-    if not args.no_val:
-        val_loader = build_dataloader(cfg, is_train=False)
-        import json
+    if args.synthetic:
+        train_loader, val_loader, gt = _synthetic_loaders(cfg,
+                                                          args.synthetic)
+        if args.no_val:
+            val_loader, gt = None, None
+    else:
+        train_loader = build_dataloader(cfg, is_train=True)
+        val_loader, gt = None, None
+        if not args.no_val:
+            val_loader = build_dataloader(cfg, is_train=False)
+            import json
 
-        with open(os.path.join(cfg.data.data_root, cfg.data.val_ann)) as f:
-            gt = json.load(f)
+            with open(os.path.join(cfg.data.data_root,
+                                   cfg.data.val_ann)) as f:
+                gt = json.load(f)
     train(cfg, train_loader, val_loader, gt, max_epochs=args.epochs)
+
+
+def _synthetic_loaders(cfg, n):
+    import numpy as np
+
+    from ..data import (
+        CocoIndex,
+        DataLoader,
+        PoseDataset,
+        build_records,
+        synthetic_coco_dataset,
+    )
+
+    schema = cfg.data.keypoint_schema
+    synth = synthetic_coco_dataset(
+        num_images=n, num_keypoints=schema.num_keypoints,
+        keypoint_names=schema.keypoint_names, skeleton=schema.skeleton)
+    rng = np.random.RandomState(0)
+    cache = {im["file_name"]: rng.randint(0, 255, (256, 320, 3))
+             .astype(np.uint8) for im in synth["images"]}
+    recs = build_records(CocoIndex(dataset=synth))
+    bs = min(cfg.train.global_batch_size, n)
+    train_loader = DataLoader(
+        PoseDataset(cfg, recs, "", True, image_cache=cache), bs,
+        shuffle=True, seed=cfg.train.seed)
+    val_loader = DataLoader(
+        PoseDataset(cfg, recs, "", False, image_cache=cache), bs,
+        shuffle=False)
+    return train_loader, val_loader, synth
 
 
 if __name__ == "__main__":
