@@ -133,7 +133,11 @@ class EvalConfig:
 
     batch_size: int = 32
     flip_test: bool = True
-    shift_heatmap: bool = True
+    # The reference's executable flip-test does NOT shift
+    # (models/pose_estimator.py:303-319); SHIFT_HEATMAP appears only in the
+    # Stack-B YAML surface (configs/default.yaml:77) — flag kept, off by
+    # default for parity with the executable path.
+    shift_heatmap: bool = False
     # Stack-B fused decode alpha (ref config.py TEST.FUSION_ALPHA).
     fusion_alpha: float = 0.5
     adaptive_fusion: bool = True
