@@ -133,15 +133,18 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with cf.ThreadPoolExecutor(self.num_threads) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(
-                        lambda i: self.ds.get(int(i), epoch, self.seed),
-                        idxs))
-                    q.put(_collate(samples, self.batch_size))
-            q.put(None)
+            try:
+                with cf.ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(
+                            lambda i: self.ds.get(int(i), epoch, self.seed),
+                            idxs))
+                        q.put(_collate(samples, self.batch_size))
+                q.put(None)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -150,6 +153,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

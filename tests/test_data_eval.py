@@ -212,3 +212,15 @@ def test_postprocess_toolbox():
         meta)
     assert res["preds"].shape == (2, 13, 2)
     assert res["mask"].shape == (2, 13)
+
+
+def test_loader_propagates_errors(synth):
+    cfg = Config()
+    cfg.data.input_size = (64, 64)
+    index = CocoIndex(dataset=synth)
+    recs = build_records(index)
+    # no image cache + nonexistent root -> load must raise in the consumer
+    ds = PoseDataset(cfg, recs, "/nonexistent", is_train=False)
+    loader = DataLoader(ds, batch_size=4, shuffle=False)
+    with pytest.raises(ValueError, match="Failed to load image"):
+        next(loader.epoch(0))
