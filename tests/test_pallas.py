@@ -53,3 +53,39 @@ def test_relative_position_index():
     assert idx.min() >= 0 and idx.max() < 13 * 13
     # symmetry: rel(a, b) and rel(b, a) mirror through the table center
     assert idx[0, 0] == idx[48, 48]
+
+
+def test_fused_residual_chain_matches_basic_blocks(rng):
+    """Kernel output must match 4 sequential flax BasicBlocks (inference)."""
+    from infantposeestimation_gaussianbias_tpu.models.layers import BasicBlock
+    from infantposeestimation_gaussianbias_tpu.ops.pallas.residual_block import (
+        fused_residual_chain,
+        pack_basic_block_params,
+    )
+
+    B, H, W, C = 2, 16, 12, 32
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+
+    blocks = [BasicBlock(C) for _ in range(4)]
+    variables = []
+    y_ref = x
+    for i, blk in enumerate(blocks):
+        v = blk.init(jax.random.PRNGKey(i), y_ref, False)
+        # randomize batch stats so BN folding is non-trivial
+        v = jax.tree_util.tree_map(lambda a: a, v)
+        stats = v["batch_stats"]
+        stats = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(
+                np.random.RandomState(i).uniform(0.5, 1.5, a.shape)
+                .astype(np.float32)), stats)
+        v = {"params": v["params"], "batch_stats": stats}
+        variables.append(v)
+        y_ref = blk.apply(v, y_ref, False)
+
+    ws, abs_ = pack_basic_block_params(
+        [v["params"] for v in variables],
+        [v["batch_stats"] for v in variables], dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = fused_residual_chain(x, ws, abs_, 4)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-3, atol=2e-3)
