@@ -27,16 +27,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _conv3x3_via_im2col(xp, w9, H, W, C):
     """xp: (H+2, W+2, C) padded input; w9: (9*C, Cout).
-    Returns (H, W, Cout) f32."""
-    taps = []
+    Returns (H, W, Cout) f32.
+
+    Mosaic does not support concatenating shifted slices along channels,
+    so the im2col matmul is computed as 9 tap-wise matmul accumulations
+    (each (H*W, C) @ (C, Cout) on the MXU).
+    """
+    acc = None
     for dy in range(3):
         for dx in range(3):
-            taps.append(xp[dy:dy + H, dx:dx + W, :])
-    x9 = jnp.concatenate(taps, axis=-1).reshape(H * W, 9 * C)
-    y = jax.lax.dot_general(
-        x9, w9, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return y.reshape(H, W, -1)
+            tap = xp[dy:dy + H, dx:dx + W, :].reshape(H * W, C)
+            w_tap = w9[(dy * 3 + dx) * C:(dy * 3 + dx + 1) * C, :]
+            y = jax.lax.dot_general(
+                tap, w_tap, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+    return acc.reshape(H, W, -1)
 
 
 def _chain_kernel(x_ref, w_ref, ab_ref, out_ref, *, num_blocks: int,
