@@ -1,0 +1,121 @@
+"""Full-pipeline proof: train on a LEARNABLE synthetic task and measure AP.
+
+Renders images where every keypoint is a visually distinct colored disk
+(hue-coded by joint), so a pose model can genuinely learn localization.
+Runs the COMPLETE production path — host loader with augmentation, fused
+train step on device, flip-test validation, COCOeval OKS/AP — and asserts
+the final AP clears a threshold.  This is the framework's strongest
+self-contained correctness evidence absent real COCO data: a broken
+augmentation, target, decode, back-projection, or evaluator step all
+destroy AP.
+
+Round-1 result on v5e: see BENCH.md.
+
+Run: python -m infantposeestimation_gaussianbias_tpu.tools.pipeline_proof
+"""
+
+from __future__ import annotations
+
+import colorsys
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def render_pose_image(rng: np.random.RandomState, num_kpts: int,
+                      height: int, width: int
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Noise background + one hue-coded disk per keypoint."""
+    img = rng.randint(0, 60, (height, width, 3)).astype(np.uint8)
+    kpts = np.zeros((num_kpts, 3), np.float32)
+    yy, xx = np.mgrid[0:height, 0:width]
+    for k in range(num_kpts):
+        x = rng.uniform(20, width - 20)
+        y = rng.uniform(20, height - 20)
+        rgb = np.array(colorsys.hsv_to_rgb(k / num_kpts, 1.0, 1.0)) * 255
+        mask = (xx - x) ** 2 + (yy - y) ** 2 < 6.0**2
+        img[mask] = rgb.astype(np.uint8)
+        kpts[k] = (x, y, 2.0)
+    return img, kpts
+
+
+def build_synthetic_pose_dataset(n: int, num_kpts: int = 17,
+                                 height: int = 192, width: int = 256,
+                                 seed: int = 0
+                                 ) -> Tuple[Dict, Dict[str, np.ndarray]]:
+    """COCO dict + in-memory image cache for the rendered task."""
+    from ..schemas import COCO17
+
+    rng = np.random.RandomState(seed)
+    images, annotations, cache = [], [], {}
+    for i in range(n):
+        img, kpts = render_pose_image(rng, num_kpts, height, width)
+        name = f"proof_{i:05d}.jpg"
+        cache[name] = img
+        x1, y1 = kpts[:, 0].min() - 12, kpts[:, 1].min() - 12
+        x2, y2 = kpts[:, 0].max() + 12, kpts[:, 1].max() + 12
+        x1, y1 = max(0, x1), max(0, y1)
+        x2, y2 = min(width - 1, x2), min(height - 1, y2)
+        images.append({"id": i + 1, "file_name": name,
+                       "width": width, "height": height})
+        annotations.append({
+            "id": i + 1, "image_id": i + 1, "category_id": 1,
+            "keypoints": kpts.reshape(-1).tolist(),
+            "num_keypoints": num_kpts,
+            "bbox": [float(x1), float(y1), float(x2 - x1), float(y2 - y1)],
+            "area": float((x2 - x1) * (y2 - y1)),
+            "iscrowd": 0,
+        })
+    cat = {"id": 1, "name": "person", "supercategory": "person",
+           "keypoints": list(COCO17.keypoint_names)[:num_kpts],
+           "skeleton": [list(e) for e in COCO17.skeleton
+                        if e[0] < num_kpts and e[1] < num_kpts]}
+    return ({"images": images, "annotations": annotations,
+             "categories": [cat]}, cache)
+
+
+def run(train_images: int = 64, epochs: int = 30, ap_threshold: float = 0.5,
+        backbone: str = "litehrnet", verbose: bool = True) -> float:
+    import jax
+
+    from ..config import Config
+    from ..data import CocoIndex, DataLoader, PoseDataset, build_records
+    from ..train.loop import train, validate
+
+    cfg = Config()
+    cfg.model.backbone = backbone
+    cfg.model.head_type = "heatmap"
+    cfg.model.compute_dtype = "bfloat16"
+    cfg.data.input_size = (128, 128)
+    cfg.data.heatmap_size = (32, 32)
+    cfg.data.rotation_factor = 15.0
+    cfg.data.scale_factor = (0.8, 1.2)
+    cfg.data.half_body_prob = 0.0
+    cfg.train.global_batch_size = 16
+    cfg.eval.batch_size = 16
+    cfg.train.lr = 2e-3
+    cfg.train.warmup_epochs = 1
+    cfg.train.val_interval = 10**9
+    cfg.train.log_interval = 10**9
+    cfg.train.checkpoint_dir = "/tmp/pipeline_proof_ckpt"
+
+    synth, cache = build_synthetic_pose_dataset(train_images)
+    recs = build_records(CocoIndex(dataset=synth))
+    train_loader = DataLoader(
+        PoseDataset(cfg, recs, "", True, image_cache=cache),
+        cfg.train.global_batch_size, shuffle=True, seed=0, drop_last=True)
+    val_loader = DataLoader(
+        PoseDataset(cfg, recs, "", False, image_cache=cache),
+        cfg.eval.batch_size, shuffle=False)
+
+    state = train(cfg, train_loader, max_epochs=epochs, use_mesh=False)
+    results = validate(cfg, state, val_loader, synth, with_loss=False)
+    if verbose:
+        print({k: round(v, 4) for k, v in results.items()})
+    assert results["AP"] >= ap_threshold, \
+        f"pipeline proof failed: AP {results['AP']:.3f} < {ap_threshold}"
+    return results["AP"]
+
+
+if __name__ == "__main__":
+    run()

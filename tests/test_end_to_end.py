@@ -144,3 +144,52 @@ def test_viz_smoke(setup, tmp_path):
     create_clinical_report_figure(traj, scores, INFANT13,
                                   out_path=str(tmp_path / "report.png"))
     assert (tmp_path / "report.png").exists()
+
+
+def test_video_inference_and_overlay(setup, tmp_path):
+    """Video -> per-frame pose -> temporal smoothing -> overlay video."""
+    import cv2
+
+    from infantposeestimation_gaussianbias_tpu.inference import PoseInference
+    from infantposeestimation_gaussianbias_tpu.viz import (
+        create_video_with_pose,
+    )
+    from infantposeestimation_gaussianbias_tpu.schemas import COCO17
+
+    cfg = setup[0]
+    cfg.temporal.enabled = True
+    video = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"mp4v"),
+                             10.0, (96, 80))
+    rng = np.random.RandomState(0)
+    for _ in range(8):
+        writer.write(rng.randint(0, 255, (80, 96, 3)).astype(np.uint8))
+    writer.release()
+
+    infer = PoseInference(cfg)
+    traj, scores, fps = infer.predict_video(video)
+    assert traj.shape == (8, 17, 2)
+    assert scores.shape == (8, 17)
+
+    out = str(tmp_path / "out.mp4")
+    create_video_with_pose(video, traj, scores, out, COCO17, fps=fps)
+    assert os.path.getsize(out) > 0
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 8
+    cap.release()
+
+
+def test_metrics_writer(tmp_path):
+    import json
+
+    from infantposeestimation_gaussianbias_tpu.train.logging import (
+        MetricsWriter,
+    )
+
+    w = MetricsWriter(str(tmp_path))
+    w.write(1, {"loss": 1.5, "lr": 1e-3}, prefix="train/")
+    w.write(2, {"AP": 0.7}, prefix="val/")
+    w.close()
+    lines = [json.loads(line) for line in open(w.path)]
+    assert lines[0]["train/loss"] == 1.5
+    assert lines[1]["val/AP"] == 0.7
