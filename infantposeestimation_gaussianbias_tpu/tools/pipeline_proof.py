@@ -33,7 +33,7 @@ def render_pose_image(rng: np.random.RandomState, num_kpts: int,
         x = rng.uniform(20, width - 20)
         y = rng.uniform(20, height - 20)
         rgb = np.array(colorsys.hsv_to_rgb(k / num_kpts, 1.0, 1.0)) * 255
-        mask = (xx - x) ** 2 + (yy - y) ** 2 < 6.0**2
+        mask = (xx - x) ** 2 + (yy - y) ** 2 < 8.0**2
         img[mask] = rgb.astype(np.uint8)
         kpts[k] = (x, y, 2.0)
     return img, kpts
@@ -74,7 +74,7 @@ def build_synthetic_pose_dataset(n: int, num_kpts: int = 17,
              "categories": [cat]}, cache)
 
 
-def run(train_images: int = 64, epochs: int = 30, ap_threshold: float = 0.5,
+def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
         backbone: str = "litehrnet", verbose: bool = True) -> float:
     import jax
 
@@ -94,9 +94,10 @@ def run(train_images: int = 64, epochs: int = 30, ap_threshold: float = 0.5,
     cfg.train.global_batch_size = 16
     cfg.eval.batch_size = 16
     cfg.train.lr = 2e-3
-    cfg.train.warmup_epochs = 1
+    cfg.train.warmup_epochs = 5
+    cfg.train.lr_milestones = (int(epochs * 0.7), int(epochs * 0.9))
     cfg.train.val_interval = 10**9
-    cfg.train.log_interval = 10**9
+    cfg.train.log_interval = 10**9  # per-epoch logs suffice
     cfg.train.checkpoint_dir = "/tmp/pipeline_proof_ckpt"
 
     synth, cache = build_synthetic_pose_dataset(train_images)
