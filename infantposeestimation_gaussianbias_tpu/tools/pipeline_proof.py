@@ -98,7 +98,9 @@ def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
     cfg.train.lr_milestones = (int(epochs * 0.7), int(epochs * 0.9))
     cfg.train.val_interval = 10**9
     cfg.train.log_interval = 10**9  # per-epoch logs suffice
+    import shutil
     cfg.train.checkpoint_dir = "/tmp/pipeline_proof_ckpt"
+    shutil.rmtree(cfg.train.checkpoint_dir, ignore_errors=True)
 
     synth, cache = build_synthetic_pose_dataset(train_images)
     recs = build_records(CocoIndex(dataset=synth))

@@ -44,8 +44,13 @@ class CheckpointManager:
         return os.path.join(self.directory, name)
 
     def _save(self, name: str, state, metadata: Dict[str, Any]) -> None:
-        tree = dict(self._tree(state))
-        tree["metadata"] = {k: np.asarray(v) for k, v in metadata.items()}
+        """Checkpoint tree has the exact TrainState structure; metadata
+        (whose keys vary per epoch) goes in a sidecar JSON so restore can
+        use a fully-typed template — restoring without one would collapse
+        the optax NamedTuple state into plain dicts."""
+        import json
+
+        tree = self._tree(state)
         path = self._path(name)
         if self._ckpt is not None:
             self._ckpt.save(path, tree, force=True)
@@ -53,6 +58,8 @@ class CheckpointManager:
         else:  # numpy fallback
             flat, _ = jax.tree_util.tree_flatten(tree)
             np.savez(path + ".npz", *[np.asarray(x) for x in flat])
+        with open(path + ".meta.json", "w") as f:
+            json.dump({k: float(v) for k, v in metadata.items()}, f)
 
     def save(self, state, epoch: int, metrics: Dict[str, float],
              best_metric: float, monitor: str = "AP"
@@ -72,12 +79,18 @@ class CheckpointManager:
     def restore(self, state, name: str = "latest"):
         """Restore into the given (abstract or concrete) state; returns
         (state, metadata) or (state, None) when absent."""
+        import json
+
         path = self._path(name)
         if self._ckpt is None or not os.path.exists(path):
             return state, None
-        # Restore with the on-disk structure (metadata keys vary by epoch).
-        restored = self._ckpt.restore(path)
-        meta = restored.pop("metadata", None)
+        template = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, self._tree(state))
+        restored = self._ckpt.restore(path, template)
+        meta = None
+        if os.path.exists(path + ".meta.json"):
+            with open(path + ".meta.json") as f:
+                meta = json.load(f)
         new_state = state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],

@@ -193,3 +193,42 @@ def test_metrics_writer(tmp_path):
     lines = [json.loads(line) for line in open(w.path)]
     assert lines[0]["train/loss"] == 1.5
     assert lines[1]["val/AP"] == 0.7
+
+
+def test_restore_then_train_step(setup, tmp_path):
+    """A restored state must keep the typed optimizer structure — training
+    after restore exercises it (regression: untyped restore collapsed the
+    optax NamedTuples into dicts)."""
+    import jax.numpy as jnp
+
+    from infantposeestimation_gaussianbias_tpu.models import build_model
+    from infantposeestimation_gaussianbias_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+    from infantposeestimation_gaussianbias_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    cfg = setup[0]
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, cfg.data.keypoint_schema))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randn(4, 64, 64, 3).astype(np.float32)),
+        "keypoints": jnp.asarray(
+            rng.uniform(8, 56, (4, 17, 2)).astype(np.float32)),
+        "visible": jnp.ones((4, 17), jnp.float32),
+    }
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    mgr = CheckpointManager(str(tmp_path / "rt"), save_every=1)
+    mgr.save(state, 0, {"AP": 0.1}, -np.inf)
+    fresh = create_train_state(cfg, model, jax.random.PRNGKey(7))
+    restored, meta = mgr.restore(fresh)
+    assert int(restored.step) == 1
+    assert meta["AP"] == pytest.approx(0.1)
+    restored, metrics = step(restored, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert int(restored.step) == 2
