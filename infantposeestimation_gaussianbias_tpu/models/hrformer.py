@@ -44,8 +44,6 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=True, kernel_init=trunc_init,
                        dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         bias = None
         if self.with_rpe:
@@ -56,11 +54,16 @@ class WindowAttention(nn.Module):
             bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
 
         if self.use_pallas:
-            from ..ops.pallas.window_msa import window_attention_pallas
-            out = window_attention_pallas(q, k, v, bias)
+            # head-major layout straight out of the projection — the fused
+            # kernel consumes it without relayout copies
+            from ..ops.pallas.window_msa import window_attention_pallas_hm
+            qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 3, 0, 1, 4)
+            out = window_attention_pallas_hm(qkv[0], qkv[1], qkv[2], bias)
+            out = out.transpose(1, 2, 0, 3).reshape(nW, N, C)
         else:
-            out = msa.window_attention(q, k, v, bias)
-        out = out.transpose(0, 2, 1, 3).reshape(nW, N, C)
+            qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
+            out = msa.window_attention(qkv[0], qkv[1], qkv[2], bias)
+            out = out.transpose(0, 2, 1, 3).reshape(nW, N, C)
         return nn.Dense(C, kernel_init=trunc_init, dtype=self.dtype,
                         name="proj")(out)
 

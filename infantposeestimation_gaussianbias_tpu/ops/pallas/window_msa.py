@@ -41,24 +41,27 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
 
 
 @functools.partial(jax.jit, static_argnames=("block_windows",))
-def window_attention_pallas(
+def window_attention_pallas_hm(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
     block_windows: int = 16,
 ) -> jnp.ndarray:
-    """Fused W-MSA. Grid = (heads, window blocks); one head's RPE bias tile
-    stays resident while its window blocks stream through VMEM."""
-    nW, H, N, hd = q.shape
+    """Fused W-MSA on HEAD-MAJOR operands (H, nW, N, hd) — the layout
+    WindowAttention can produce directly from its qkv projection, avoiding
+    the relayout copies a window-major interface would need.
+
+    Grid = (heads, window blocks); one head's RPE bias tile stays resident
+    while its window blocks stream through VMEM."""
+    H, nW, N, hd = q.shape
     if bias is None:
         bias = jnp.zeros((H, N, N), jnp.float32)
 
     GB = min(block_windows, max(nW, 1))
     pad = (-nW) % GB
-    # (nW, H, N, hd) -> (H, nW_padded, N, hd): windows of one head contiguous.
+
     def arrange(x):
-        x = jnp.swapaxes(x, 0, 1)
         if pad:
             x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
         return x
@@ -78,6 +81,19 @@ def window_attention_pallas(
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((H, nWp, N, hd), v.dtype),
     )(qa, ka, va, bias)
+    return out[:, :nW]
 
-    out = out[:, :nW]
+
+def window_attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    block_windows: int = 16,
+) -> jnp.ndarray:
+    """Window-major (nW, H, N, hd) interface matching ops.msa
+    (relayouts to head-major around the kernel)."""
+    qa, ka, va = (jnp.swapaxes(x, 0, 1) for x in (q, k, v))
+    out = window_attention_pallas_hm(qa, ka, va, bias,
+                                     block_windows=block_windows)
     return jnp.swapaxes(out, 0, 1)
