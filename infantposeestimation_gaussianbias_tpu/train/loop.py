@@ -100,8 +100,23 @@ def train(cfg: Config, train_loader: DataLoader,
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    mesh = create_mesh(cfg.parallel.data_axis,
-                       cfg.parallel.model_axis) if use_mesh else None
+    mesh = None
+    if use_mesh:
+        import math
+
+        n_dev = len(jax.devices())
+        model_ax = max(1, cfg.parallel.model_axis)
+        data_ax = cfg.parallel.data_axis
+        if data_ax <= 0:
+            data_ax = n_dev // model_ax
+        # the batch must divide the data axis; shrink to the gcd if not
+        usable = math.gcd(cfg.train.global_batch_size, data_ax)
+        if usable != data_ax:
+            log.warning("batch %d not divisible by data axis %d; using a "
+                        "%d-device data axis", cfg.train.global_batch_size,
+                        data_ax, usable)
+        devices = jax.devices()[: usable * model_ax]
+        mesh = create_mesh(usable, model_ax, devices=devices)
     steps_per_epoch = len(train_loader)
     cfg.train.steps_per_epoch = steps_per_epoch
 
