@@ -65,13 +65,17 @@ class CheckpointManager:
              best_metric: float, monitor: str = "AP"
              ) -> Tuple[float, bool]:
         """Apply the latest/best/periodic policy; returns (best, is_best)."""
-        meta = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}}
-        self._save("latest", state, meta)
         current = float(metrics.get(monitor, -np.inf))
         is_best = current > best_metric
         if is_best:
-            self._save("best", state, meta)
             best_metric = current
+        # persist the running best so resume keeps protecting best.pth
+        # (clamped: -inf is not valid JSON)
+        meta = {"epoch": epoch, "best": float(max(best_metric, -1e30)),
+                **{k: float(v) for k, v in metrics.items()}}
+        self._save("latest", state, meta)
+        if is_best:
+            self._save("best", state, meta)
         if self.save_every and (epoch + 1) % self.save_every == 0:
             self._save(f"epoch_{epoch + 1}", state, meta)
         return best_metric, is_best

@@ -232,3 +232,26 @@ def test_restore_then_train_step(setup, tmp_path):
     restored, metrics = step(restored, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(restored.step) == 2
+
+
+def test_best_metric_survives_resume(setup, tmp_path):
+    """Resume must not let a worse checkpoint overwrite best.pth."""
+    from infantposeestimation_gaussianbias_tpu.models import build_model
+    from infantposeestimation_gaussianbias_tpu.train import create_train_state
+    from infantposeestimation_gaussianbias_tpu.train.checkpoint import (
+        CheckpointManager,
+    )
+
+    cfg = setup[0]
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    mgr = CheckpointManager(str(tmp_path / "bk"), save_every=100)
+    best, _ = mgr.save(state, 0, {"AP": 0.8}, -np.inf)
+    assert best == 0.8
+
+    # simulate a resume: read best back from metadata
+    _, meta = mgr.restore(state)
+    resumed_best = float(meta.get("best", -np.inf))
+    assert resumed_best == pytest.approx(0.8)
+    best2, is_best = mgr.save(state, 1, {"AP": 0.5}, resumed_best)
+    assert not is_best and best2 == pytest.approx(0.8)
