@@ -103,3 +103,47 @@ def test_cli_tools_convert_and_analyze(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "Dataset analysis" in printed
     assert os.path.exists(str(tmp_path / "an" / "visibility.png"))
+
+
+def test_export_roundtrip(tmp_path):
+    """Export -> deserialize -> call must match the live pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from infantposeestimation_gaussianbias_tpu.config import Config
+    from infantposeestimation_gaussianbias_tpu.models import build_model
+    from infantposeestimation_gaussianbias_tpu.tools.export_model import (
+        build_serving_fn,
+        export_pipeline,
+        load_pipeline,
+    )
+    from infantposeestimation_gaussianbias_tpu.train.step import (
+        create_train_state,
+    )
+
+    cfg = Config()
+    cfg.model.backbone = "litehrnet"
+    cfg.model.head_type = "heatmap"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.input_size = (64, 64)
+    cfg.data.heatmap_size = (16, 16)
+
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    blob = export_pipeline(cfg, state, batch=2, frame_hw=(96, 96))
+    assert len(blob) > 1000
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randint(0, 255, (2, 96, 96, 3))
+                         .astype(np.uint8))
+    centers = jnp.asarray(rng.uniform(30, 60, (2, 2)).astype(np.float32))
+    scales = jnp.asarray(np.full((2, 2), 64.0, np.float32))
+
+    restored = load_pipeline(blob)
+    k1, s1 = restored.call(frames, centers, scales)
+    serve = build_serving_fn(cfg, state, (96, 96))
+    k2, s2 = jax.jit(serve)(frames, centers, scales)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-4, atol=1e-5)
