@@ -121,6 +121,10 @@ class TrainConfig:
     steps_per_epoch: int = 0  # 0 = derive from dataset size
     checkpoint_dir: str = "checkpoints/"
     save_every: int = 10
+    # 'latest' is written every save_latest_interval epochs (the reference
+    # writes it every epoch; raise for large models where the async save
+    # still costs seconds per epoch).
+    save_latest_interval: int = 1
     save_best: str = "AP"
     log_interval: int = 50
     deterministic_data: bool = True

@@ -62,8 +62,8 @@ class CheckpointManager:
             json.dump({k: float(v) for k, v in metadata.items()}, f)
 
     def save(self, state, epoch: int, metrics: Dict[str, float],
-             best_metric: float, monitor: str = "AP"
-             ) -> Tuple[float, bool]:
+             best_metric: float, monitor: str = "AP",
+             latest_interval: int = 1) -> Tuple[float, bool]:
         """Apply the latest/best/periodic policy; returns (best, is_best)."""
         current = float(metrics.get(monitor, -np.inf))
         is_best = current > best_metric
@@ -73,7 +73,8 @@ class CheckpointManager:
         # (clamped: -inf is not valid JSON)
         meta = {"epoch": epoch, "best": float(max(best_metric, -1e30)),
                 **{k: float(v) for k, v in metrics.items()}}
-        self._save("latest", state, meta)
+        if latest_interval and (epoch + 1) % latest_interval == 0:
+            self._save("latest", state, meta)
         if is_best:
             self._save("best", state, meta)
         if self.save_every and (epoch + 1) % self.save_every == 0:

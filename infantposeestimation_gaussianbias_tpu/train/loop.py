@@ -166,8 +166,9 @@ def train(cfg: Config, train_loader: DataLoader,
             results = validate(cfg, state, val_loader, gt_dataset, mesh)
             metrics_out.update(results)
             writer.write(int(state.step), results, prefix="val/")
-        best, is_best = ckpt.save(state, epoch, metrics_out, best,
-                                  monitor=cfg.train.save_best)
+        best, is_best = ckpt.save(
+            state, epoch, metrics_out, best, monitor=cfg.train.save_best,
+            latest_interval=cfg.train.save_latest_interval)
         if is_best:
             log.info("new best %s=%.4f at epoch %d", cfg.train.save_best,
                      best, epoch)
