@@ -151,5 +151,5 @@ class PoseInference:
         if do_smooth and len(traj) >= self.cfg.temporal.window_size:
             traj = np.asarray(decode_ops.temporal_smooth(
                 jnp.asarray(traj), self.cfg.temporal.window_size,
-                self.cfg.temporal.method))
+                self.cfg.temporal.method, fps=fps))
         return traj, scores, fps

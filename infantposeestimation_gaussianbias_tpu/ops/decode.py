@@ -344,14 +344,21 @@ def transform_preds(coords: jnp.ndarray, centers: jnp.ndarray,
 
 
 def temporal_smooth(coords_seq: jnp.ndarray, window_size: int = 5,
-                    method: str = "gaussian") -> jnp.ndarray:
+                    method: str = "gaussian", fps: float = 30.0
+                    ) -> jnp.ndarray:
     """Temporal trajectory smoothing over a (T, K, 2) sequence.
 
-    Equivalent of temporal_smoothing (/root/reference/utils/postprocess.py:187-223)
-    including its one-sided Gaussian kernel (exp(-i^2/2sigma^2), i=0..w-1,
-    sigma=w/3) and edge padding, applied via correlation like np.convolve.
+    'gaussian' / 'moving_average' are equivalents of temporal_smoothing
+    (/root/reference/utils/postprocess.py:187-223) including the reference's
+    one-sided Gaussian kernel (exp(-i^2/2sigma^2), i=0..w-1, sigma=w/3) and
+    edge padding applied via np.convolve semantics.  'one_euro' is the
+    standard real-time pose smoother (causal, lag-adaptive) exposed by the
+    temporal config.
     """
     import numpy as np
+
+    if method == "one_euro":
+        return one_euro_smooth(coords_seq, fps=fps)
 
     T, K, D = coords_seq.shape
     if method == "gaussian":
@@ -371,3 +378,34 @@ def temporal_smooth(coords_seq: jnp.ndarray, window_size: int = 5,
 
     sm = jax.vmap(conv1)(padded)  # (K*D, T)
     return sm.T.reshape(T, K, D)
+
+
+def one_euro_smooth(coords_seq: jnp.ndarray, fps: float = 30.0,
+                    min_cutoff: float = 1.0, beta: float = 0.007,
+                    d_cutoff: float = 1.0) -> jnp.ndarray:
+    """One-Euro filter over a (T, K, 2) trajectory (causal lax.scan).
+
+    Adaptive exponential smoothing: the cutoff rises with speed, so slow
+    jitter is damped while fast motion stays responsive — the standard
+    choice for real-time pose streams.
+    """
+    dt = 1.0 / fps
+
+    def alpha(cutoff):
+        tau = 1.0 / (2.0 * jnp.pi * cutoff)
+        return 1.0 / (1.0 + tau / dt)
+
+    def step(carry, x):
+        x_prev, dx_prev = carry
+        dx = (x - x_prev) / dt
+        a_d = alpha(d_cutoff)
+        dx_hat = a_d * dx + (1 - a_d) * dx_prev
+        cutoff = min_cutoff + beta * jnp.abs(dx_hat)
+        a = alpha(cutoff)
+        x_hat = a * x + (1 - a) * x_prev
+        return (x_hat, dx_hat), x_hat
+
+    x0 = coords_seq[0]
+    (_, _), out = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0)), coords_seq[1:])
+    return jnp.concatenate([x0[None], out], axis=0)

@@ -270,3 +270,29 @@ def test_warp_separable_matches_cv2(flip, rng):
         jnp.asarray(img)[None], jnp.asarray(mat)[None], out_w, out_h))[0]
     assert np.mean(np.abs(ours - ref)) < 0.5
     assert np.max(np.abs(ours - ref)) < 8.0
+
+
+def test_one_euro_smooth():
+    from infantposeestimation_gaussianbias_tpu.ops.decode import (
+        one_euro_smooth,
+        temporal_smooth,
+    )
+
+    rng = np.random.RandomState(0)
+    t = np.linspace(0, 4 * np.pi, 120)
+    clean = np.zeros((120, 3, 2), np.float32)
+    clean[:, 0, 0] = 50 + 20 * np.sin(t)
+    noisy = clean + rng.randn(120, 3, 2).astype(np.float32) * 2.0
+
+    sm = np.asarray(one_euro_smooth(jnp.asarray(noisy), fps=30.0))
+    assert sm.shape == noisy.shape
+    # first sample passes through unchanged (causal filter)
+    np.testing.assert_allclose(sm[0], noisy[0])
+    # smoother output: residual vs clean shrinks
+    err_raw = np.abs(noisy - clean).mean()
+    err_sm = np.abs(sm - clean).mean()
+    assert err_sm < err_raw * 0.8
+
+    # dispatch through temporal_smooth
+    sm2 = np.asarray(temporal_smooth(jnp.asarray(noisy), method="one_euro"))
+    np.testing.assert_allclose(sm2, sm)
