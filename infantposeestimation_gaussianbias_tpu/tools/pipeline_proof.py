@@ -75,7 +75,9 @@ def build_synthetic_pose_dataset(n: int, num_kpts: int = 17,
 
 
 def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
-        backbone: str = "litehrnet", verbose: bool = True) -> float:
+        backbone: str = "litehrnet", head_type: str = "heatmap",
+        lr: float = 2e-3, save_checkpoints: bool = True,
+        verbose: bool = True) -> float:
     import jax
 
     from ..config import Config
@@ -84,7 +86,7 @@ def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
 
     cfg = Config()
     cfg.model.backbone = backbone
-    cfg.model.head_type = "heatmap"
+    cfg.model.head_type = head_type
     cfg.model.compute_dtype = "bfloat16"
     cfg.data.input_size = (128, 128)
     cfg.data.heatmap_size = (32, 32)
@@ -93,7 +95,7 @@ def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
     cfg.data.half_body_prob = 0.0
     cfg.train.global_batch_size = 16
     cfg.eval.batch_size = 16
-    cfg.train.lr = 2e-3
+    cfg.train.lr = lr
     cfg.train.warmup_epochs = 5
     cfg.train.lr_milestones = (int(epochs * 0.7), int(epochs * 0.9))
     cfg.train.val_interval = 10**9
@@ -101,6 +103,9 @@ def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
     import shutil
     cfg.train.checkpoint_dir = "/tmp/pipeline_proof_ckpt"
     shutil.rmtree(cfg.train.checkpoint_dir, ignore_errors=True)
+    if not save_checkpoints:
+        cfg.train.save_every = 0
+        cfg.train.save_latest_interval = 0
 
     synth, cache = build_synthetic_pose_dataset(train_images)
     recs = build_records(CocoIndex(dataset=synth))
@@ -121,4 +126,15 @@ def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
 
 
 if __name__ == "__main__":
-    run()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--backbone", default="litehrnet")
+    p.add_argument("--head", default="heatmap")
+    p.add_argument("--epochs", type=int, default=400)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--ap-threshold", type=float, default=0.5)
+    p.add_argument("--no-checkpoints", action="store_true")
+    a = p.parse_args()
+    run(epochs=a.epochs, ap_threshold=a.ap_threshold, backbone=a.backbone,
+        head_type=a.head, lr=a.lr, save_checkpoints=not a.no_checkpoints)
