@@ -151,12 +151,14 @@ class COCOEvaluator:
         if not gts and not dts:
             return None
         gt_ignore = np.array(
-            [g["ignore"] or not (amin <= g.get("area", 0) <= amax)
-             for g in gts], bool)
+            [g["ignore"] or g.get("area", 0) < amin
+             or g.get("area", 0) > amax for g in gts], bool)
+        iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], bool)
         # sort gts: non-ignored first (pycocotools order)
         order = np.argsort(gt_ignore, kind="stable")
         gts = [gts[i] for i in order]
         gt_ignore = gt_ignore[order]
+        iscrowd = iscrowd[order]
 
         G, D = len(gts), len(dts)
         ious = np.zeros((D, G))
@@ -177,7 +179,8 @@ class COCOEvaluator:
                 best_iou = min(thr, 1 - 1e-10)
                 m = -1
                 for gi in range(G):
-                    if gtm[ti, gi] >= 0:
+                    # an already-matched gt can only be re-matched if crowd
+                    if gtm[ti, gi] >= 0 and not iscrowd[gi]:
                         continue
                     # stop at ignored gts once a real match exists
                     if m > -1 and not gt_ignore[m] and gt_ignore[gi]:
@@ -191,17 +194,25 @@ class COCOEvaluator:
                 dtm[ti, di] = m
                 gtm[ti, m] = di
                 dt_ignore[ti, di] = gt_ignore[m]
-        # unmatched dets are ignored (for this area range) — for keypoints
-        # pycocotools ignores unmatched dets outside the range by bbox area;
-        # detections here have no area, treat unmatched as counted in 'all'
-        # and ignored in medium/large only if NO gt in range exists.
+        # Unmatched dets outside the area range are ignored.  pycocotools'
+        # loadRes assigns each keypoint detection area = tight keypoint
+        # extent bbox ((max x - min x) * (max y - min y)); reproduce that.
+        dt_area = np.array([self._det_area(d) for d in dts])
+        out_of_range = (dt_area < amin) | (dt_area > amax)
+        dt_ignore = dt_ignore | ((dtm == -1) & out_of_range[None, :])
         scores = np.array([d["score"] for d in dts])
-        if amin > 0 or amax < 1e10:
-            dt_ignore = dt_ignore | (dtm == -1)
         return {
             "dtm": dtm, "dt_ignore": dt_ignore, "scores": scores,
             "num_gt": int((~gt_ignore).sum()),
         }
+
+    @staticmethod
+    def _det_area(det) -> float:
+        """Detection area per pycocotools loadRes: tight bbox over ALL
+        predicted keypoints (regardless of score)."""
+        k = np.asarray(det["keypoints"], np.float64)
+        x, y = k[:, 0], k[:, 1]
+        return float((x.max() - x.min()) * (y.max() - y.min()))
 
     @staticmethod
     def _accumulate(per_img, T):

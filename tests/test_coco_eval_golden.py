@@ -1,0 +1,255 @@
+"""Golden cross-validation of eval/coco_eval.py against a faithful
+transcription of the pycocotools COCOeval keypoints protocol
+(tests/cocoeval_oracle.py — see its docstring; pycocotools itself is not
+installable here).
+
+Covers the edge cases that distinguish a correct COCOeval from a
+plausible one: crowd-gt rematching, num_keypoints=0 bbox-fallback ignores,
+area-range boundaries (inclusive at 32^2 / 96^2), the maxDets=20 cap,
+tied scores across images, graded OKS vs thresholds, and loadRes-style
+detection areas for unmatched-det range ignoring.
+
+Every scenario asserts (a) exact agreement with the oracle on all 10
+stats and (b) hand-derived literal values where tractable.
+"""
+
+import numpy as np
+import pytest
+
+from infantposeestimation_gaussianbias_tpu.eval.coco_eval import COCOEvaluator
+from infantposeestimation_gaussianbias_tpu.schemas import get_schema
+
+from .cocoeval_oracle import evaluate_oracle
+
+SIGMAS = np.asarray(get_schema("coco17").oks_sigmas, np.float64)
+K = 17
+
+
+def make_gt(img_id, ann_id, cx, cy, spread, area=None, iscrowd=0,
+            num_keypoints=None, visible=True):
+    """A GT annotation with K keypoints on a ring around (cx, cy)."""
+    t = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    xs = cx + spread * np.cos(t)
+    ys = cy + spread * np.sin(t)
+    v = 2 if visible else 0
+    kpts = np.stack([xs, ys, np.full(K, v, float)], axis=1)
+    nk = K if visible else 0
+    if num_keypoints is not None:
+        nk = num_keypoints
+    return {
+        "id": ann_id,
+        "image_id": img_id,
+        "keypoints": kpts.reshape(-1).tolist(),
+        "num_keypoints": nk,
+        "area": float(area if area is not None else (2 * spread) ** 2),
+        "bbox": [cx - spread, cy - spread, 2 * spread, 2 * spread],
+        "iscrowd": iscrowd,
+        "category_id": 1,
+    }
+
+
+def make_det(gt, score, dx=0.0, dy=0.0, shrink=1.0):
+    """A detection derived from a GT: translated and/or shrunk keypoints."""
+    kpts = np.asarray(gt["keypoints"], float).reshape(-1, 3).copy()
+    c = kpts[:, :2].mean(axis=0)
+    kpts[:, :2] = c + (kpts[:, :2] - c) * shrink
+    kpts[:, 0] += dx
+    kpts[:, 1] += dy
+    kpts[:, 2] = score
+    return {
+        "image_id": gt["image_id"],
+        "keypoints": kpts,
+        "score": float(score),
+    }
+
+
+def run_both(gts, dets, images=None):
+    dataset = {
+        "images": images or [{"id": i}
+                             for i in sorted({g["image_id"] for g in gts}
+                                             | {d["image_id"] for d in dets})],
+        "annotations": gts,
+        "categories": [{"id": 1, "name": "person"}],
+    }
+    ev = COCOEvaluator(SIGMAS, gt_dataset=dataset)
+    ev.predictions = [
+        {"image_id": d["image_id"],
+         "keypoints": np.asarray(d["keypoints"], np.float64),
+         "score": d["score"]} for d in dets]
+    ours = ev.evaluate()
+    golden = evaluate_oracle(dataset, ev.predictions, SIGMAS)
+    return ours, golden
+
+
+def assert_match(ours, golden):
+    for k in golden:
+        assert ours[k] == pytest.approx(golden[k], abs=1e-9), (
+            k, ours[k], golden[k])
+
+
+class TestGoldenScenarios:
+    def test_perfect_single_medium(self):
+        # One medium-area GT, one exact det: AP/AR = 1 for all/medium,
+        # large range has no in-range gt and the det matches an
+        # (out-of-range-)ignored gt -> undefined (-1).
+        gt = make_gt(1, 1, 100, 100, 25, area=50.0**2)
+        det = make_det(gt, 0.9)
+        ours, golden = run_both([gt], [det])
+        assert_match(ours, golden)
+        assert ours["AP"] == pytest.approx(1.0) and ours["AP50"] == pytest.approx(1.0)
+        assert ours["AP_M"] == pytest.approx(1.0) and ours["AP_L"] == -1.0
+        assert ours["AR"] == 1.0 and ours["AR_M"] == 1.0
+        assert ours["AR_L"] == -1.0
+
+    def test_bbox_fallback_ignore(self):
+        # num_keypoints=0 GT: det inside padded bbox gets OKS 1.0 via the
+        # bbox fallback, matches the ignored gt, and must not count as FP.
+        gt_ign = make_gt(1, 1, 100, 100, 30, visible=False)
+        det_ign = make_det(gt_ign, 0.95)  # highest score overall
+        gt2 = make_gt(2, 2, 80, 80, 25, area=60.0**2)
+        det2 = make_det(gt2, 0.5)
+        ours, golden = run_both([gt_ign, gt2], [det_ign, det2])
+        assert_match(ours, golden)
+        # the ignored pair is invisible to the stats: perfect AP remains
+        assert ours["AP"] == pytest.approx(1.0) and ours["AR"] == 1.0
+
+    def test_bbox_fallback_outside(self):
+        # det far OUTSIDE the padded bbox of a k=0 gt: OKS ~ 0, so it does
+        # NOT match the ignore region and counts as a normal FP.
+        gt_ign = make_gt(1, 1, 100, 100, 10, visible=False)
+        det_far = make_det(gt_ign, 0.95, dx=500.0, dy=500.0)
+        gt2 = make_gt(2, 2, 80, 80, 25, area=60.0**2)
+        det2 = make_det(gt2, 0.5)
+        ours, golden = run_both([gt_ign, gt2], [det_far, det2])
+        assert_match(ours, golden)
+        # FP ranked first: precision at recall>0 is 0.5 -> AP = 0.5
+        assert ours["AP"] == pytest.approx(0.5)
+
+    def test_crowd_rematch(self):
+        # Two dets on one crowd gt: BOTH may match it (crowd gts are
+        # re-matchable) and both become ignored; AP stays 1.0 from the
+        # clean pair.  A no-rematch implementation would score the second
+        # det as FP and lose AP.
+        crowd = make_gt(1, 1, 100, 100, 30, iscrowd=1)
+        d1 = make_det(crowd, 0.95)
+        d2 = make_det(crowd, 0.90, dx=1.0)
+        gt2 = make_gt(2, 2, 80, 80, 25, area=60.0**2)
+        det2 = make_det(gt2, 0.5)
+        ours, golden = run_both([crowd, gt2], [d1, d2, det2])
+        assert_match(ours, golden)
+        assert ours["AP"] == pytest.approx(1.0)
+
+    def test_area_range_boundaries(self):
+        # Inclusive boundaries: area == 32^2 and area == 96^2 are inside
+        # 'medium'; area == 96^2 is ALSO inside 'large' (pycocotools uses
+        # strict < / > for exclusion on both ends).
+        g_small_edge = make_gt(1, 1, 100, 100, 20, area=float(32**2))
+        g_large_edge = make_gt(2, 2, 150, 150, 40, area=float(96**2))
+        g_large = make_gt(3, 3, 200, 200, 60, area=float(96**2 + 1))
+        dets = [make_det(g_small_edge, 0.9), make_det(g_large_edge, 0.8),
+                make_det(g_large, 0.7)]
+        ours, golden = run_both([g_small_edge, g_large_edge, g_large], dets)
+        assert_match(ours, golden)
+        assert ours["AP_M"] == pytest.approx(1.0)  # both edge gts in medium
+        assert ours["AP_L"] == pytest.approx(1.0)  # 96^2 in large too
+
+    def test_max_dets_cap(self):
+        # 24 junk dets outrank the one true det -> the true det is cut by
+        # the maxDets=20 cap; recall collapses to 0.
+        gt = make_gt(1, 1, 100, 100, 25, area=60.0**2)
+        junk = [make_det(gt, 0.99 - 0.001 * i, dx=400.0 + 7 * i, dy=300.0)
+                for i in range(24)]
+        true_det = make_det(gt, 0.5)
+        ours, golden = run_both([gt], junk + [true_det])
+        assert_match(ours, golden)
+        assert ours["AP"] == 0.0 and ours["AR"] == 0.0
+
+    def test_tied_scores_stable_order(self):
+        # Equal det scores across images: accumulate() must use a STABLE
+        # sort so image order decides; the miss coming first caps
+        # interpolated precision at 0.5 for recalls 0.00-0.50 ->
+        # AP = 51 * 0.5 / 101.
+        g1 = make_gt(1, 1, 100, 100, 25, area=60.0**2)
+        g2 = make_gt(2, 2, 100, 100, 25, area=60.0**2)
+        bad = make_det(g1, 0.7, dx=400.0)   # image 1, miss
+        good = make_det(g2, 0.7)            # image 2, hit, same score
+        ours, golden = run_both([g1, g2], [bad, good])
+        assert_match(ours, golden)
+        assert ours["AP"] == pytest.approx(51 * 0.5 / 101, abs=1e-9)
+        assert ours["AR"] == pytest.approx(0.5)
+
+    def test_graded_oks_across_thresholds(self):
+        # A det offset to land between thresholds: matched at low OKS
+        # thresholds, missed at high ones -> AP50 = 1, AP75 = 0.
+        gt = make_gt(1, 1, 100, 100, 25, area=60.0**2)
+        det = make_det(gt, 0.9, dx=4.0, dy=4.0)  # OKS ~ 0.671
+        ours, golden = run_both([gt], [det])
+        assert_match(ours, golden)
+        assert ours["AP50"] == pytest.approx(1.0)
+        assert ours["AP75"] == 0.0
+        assert 0.0 < ours["AP"] < 1.0
+
+    def test_unmatched_det_area_out_of_medium(self):
+        # An unmatched tiny det (keypoint extent < 32^2) must be IGNORED
+        # in the medium range (loadRes-style det area) but counted as FP
+        # in 'all'.
+        gt = make_gt(1, 1, 100, 100, 25, area=60.0**2)
+        det_good = make_det(gt, 0.5)
+        tiny = make_det(gt, 0.9, dx=400.0, shrink=0.1)  # extent 5x5=25 px^2
+        ours, golden = run_both([gt], [det_good, tiny])
+        assert_match(ours, golden)
+        assert ours["AP_M"] == pytest.approx(1.0)  # tiny FP ignored for medium
+        assert ours["AP"] == pytest.approx(0.5)  # counted in 'all'
+
+    def test_multi_image_mixed(self):
+        # A messier composite: crowds, k=0 gts, misses, duplicates, an
+        # empty image, and out-of-range areas together.
+        rng = np.random.RandomState(0)
+        gts, dets = [], []
+        aid = 1
+        for img in range(1, 6):
+            for j in range(img % 3 + 1):
+                spread = 15 + 10 * j
+                g = make_gt(img, aid, 60 + 70 * j, 60 + 50 * j, spread,
+                            iscrowd=1 if (aid % 5 == 0) else 0,
+                            visible=(aid % 7 != 0))
+                gts.append(g)
+                aid += 1
+                if aid % 4 != 0:
+                    dets.append(make_det(g, float(rng.uniform(0.3, 1.0)),
+                                         dx=float(rng.uniform(0, 14)),
+                                         dy=float(rng.uniform(0, 14))))
+                if aid % 6 == 0:
+                    dets.append(make_det(g, float(rng.uniform(0.3, 1.0)),
+                                         dx=float(rng.uniform(200, 300))))
+        ours, golden = run_both(gts, dets,
+                                images=[{"id": i} for i in range(1, 7)])
+        assert_match(ours, golden)
+
+    def test_randomized_fuzz_agreement(self):
+        # 20 random datasets: full-stat agreement with the oracle.
+        for seed in range(20):
+            rng = np.random.RandomState(seed)
+            gts, dets = [], []
+            aid = 1
+            for img in range(1, rng.randint(2, 5)):
+                for _ in range(rng.randint(0, 4)):
+                    spread = float(rng.uniform(8, 60))
+                    g = make_gt(img, aid,
+                                float(rng.uniform(50, 400)),
+                                float(rng.uniform(50, 400)), spread,
+                                area=float(rng.uniform(400, 20000)),
+                                iscrowd=int(rng.rand() < 0.15),
+                                visible=bool(rng.rand() > 0.15))
+                    gts.append(g)
+                    aid += 1
+                    for _ in range(rng.randint(0, 3)):
+                        dets.append(make_det(
+                            g, float(rng.uniform(0.1, 1.0)),
+                            dx=float(rng.uniform(0, 40)),
+                            dy=float(rng.uniform(0, 40)),
+                            shrink=float(rng.uniform(0.5, 1.2))))
+            if not gts and not dets:
+                continue
+            ours, golden = run_both(gts, dets)
+            assert_match(ours, golden)
