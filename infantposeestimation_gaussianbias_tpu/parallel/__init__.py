@@ -8,6 +8,7 @@ from .mesh import (
     replicated,
     shard_batch,
     shard_params,
+    sharding_table,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_params",
+    "sharding_table",
 ]

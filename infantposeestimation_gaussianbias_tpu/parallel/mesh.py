@@ -78,10 +78,15 @@ def param_sharding_rules(path: tuple, value, mesh: Mesh,
     """
     if not tensor_parallel:
         return replicated(mesh)
-    names = "/".join(str(p) for p in path)
-    is_matmul_kernel = names.endswith("kernel") and hasattr(value, "ndim")
-    if is_matmul_kernel and any(t in names for t in
-                                ("shared", "qkv", "proj", "mlp", "fc")):
+    names = "/".join(
+        str(getattr(p, "key", getattr(p, "name", p))) for p in path)
+    model_size = mesh.shape.get("model", 1)
+    is_matmul_kernel = (names.endswith("kernel") and hasattr(value, "ndim")
+                        and value.ndim >= 2)
+    if (is_matmul_kernel
+            and any(t in names for t in
+                    ("shared", "qkv", "proj", "mlp", "fc"))
+            and value.shape[-1] % model_size == 0):
         spec = [None] * value.ndim
         spec[-1] = "model"
         return NamedSharding(mesh, P(*spec))
@@ -96,3 +101,19 @@ def shard_params(variables, mesh: Mesh, tensor_parallel: bool = False):
         sh = param_sharding_rules(path, value, mesh, tensor_parallel)
         out.append(jax.device_put(value, sh))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def sharding_table(tree) -> dict:
+    """Map param path -> PartitionSpec for every non-replicated leaf.
+
+    The documentation artifact for tensor parallelism: which kernels are
+    actually partitioned (inspectable in tests via addressable_shards)."""
+    table = {}
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    for path, value in flat:
+        sharding = getattr(value, "sharding", None)
+        spec = getattr(sharding, "spec", None)
+        if spec and any(axis is not None for axis in spec):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            table[name] = tuple(spec)
+    return table

@@ -38,8 +38,14 @@ DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                 ("NHWC", "HWIO", "NHWC"))
 
 
-def chained_time(step, x0, k: int, repeats: int = 3) -> float:
-    """Per-iteration seconds of `step` (x -> x-like) via the chained protocol."""
+def chained_time(step, x0, k: int = 512, repeats: int = 5) -> float:
+    """Per-iteration seconds of `step` (x -> x-like) via the chained protocol.
+
+    Uses two long chains (K0 and K0+k) so the difference is far above the
+    ~25 ms dispatch noise even for sub-millisecond ops; per-iter =
+    (T_{K0+k} - T_{K0}) / k.
+    """
+    K0 = 64
 
     def run(k):
         @jax.jit
@@ -57,9 +63,9 @@ def chained_time(step, x0, k: int, repeats: int = 3) -> float:
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t1 = timed(run(1))
-    tk = timed(run(k))
-    return (tk - t1) / (k - 1)
+    t1 = timed(run(K0))
+    tk = timed(run(K0 + k))
+    return (tk - t1) / k
 
 
 def conv_step(w, stride=1, out_dtype=None):
@@ -89,7 +95,7 @@ def bench_same_shape_conv(name, B, H, W, C, dtype, k=32):
         x = jnp.asarray(rng.randn(B, H, W, C), dt)
         w = jnp.asarray(rng.randn(3, 3, C, C) * 0.05, dt)
         step = conv_step(w)
-    sec = chained_time(step, x, k)
+    sec = chained_time(step, x)
     flops = 2 * B * H * W * C * C * 9
     print(f"{name:44s} {dtype:5s} {sec * 1e3:8.3f} ms  "
           f"{flops / sec / 1e12:7.1f} T{'OP' if dtype == 'int8' else 'FLOP'}/s",
@@ -104,7 +110,7 @@ def bench_s2d_packed(B, H, W, C, dtype, k=32):
     dt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
     x = jnp.asarray(rng.randn(B, H // 2, W // 2, 4 * C), dt)
     w = jnp.asarray(rng.randn(3, 3, 4 * C, 4 * C) * 0.05, dt)
-    sec = chained_time(conv_step(w), x, k)
+    sec = chained_time(conv_step(w), x)
     flops_equiv = 2 * B * H * W * C * C * 9  # the useful math
     print(f"{'s2d-packed 3x3 (4x sparse kernel)':44s} {dtype:5s} "
           f"{sec * 1e3:8.3f} ms  {flops_equiv / sec / 1e12:7.1f} TFLOP/s-useful",
@@ -151,7 +157,7 @@ def main():
 
             def step(x):
                 return lax.dot(x, w).astype(jnp.bfloat16)
-        sec = chained_time(step, a, 64)
+        sec = chained_time(step, a, 256)
         flops = 2 * n * n * n
         print(f"{'matmul 4096^3 calibration':44s} {dtype:5s} "
               f"{sec * 1e3:8.3f} ms  {flops / sec / 1e12:7.1f} "

@@ -118,3 +118,58 @@ def test_data_parallel_step_on_8_devices(rng):
         state1, m1 = step(state1, batch, rng_i)
         np.testing.assert_allclose(float(m_sh["total_loss"]),
                                    float(m1["total_loss"]), rtol=5e-3)
+
+
+def test_tensor_parallel_step_on_2x4_mesh(rng):
+    """Real tensor parallelism: cfg.parallel.tensor_parallel=True over a
+    2x4 ('data','model') mesh.  Asserts (a) the fusion-head hidden kernels
+    are ACTUALLY partitioned over 'model' (addressable_shards), (b) they
+    stay partitioned after an optimizer step, and (c) the loss trajectory
+    matches a replicated single-device run."""
+    from infantposeestimation_gaussianbias_tpu.parallel import sharding_table
+
+    assert len(jax.devices()) == 8
+    cfg = tiny_cfg("fusion")
+    cfg.parallel.tensor_parallel = True
+    model = build_model(cfg)
+    mesh = create_mesh(data_axis=2, model_axis=4)
+    assert mesh.devices.shape == (2, 4)
+
+    state_tp = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                  mesh=mesh)
+
+    def assert_partitioned(state):
+        table = sharding_table(state.params)
+        shared = [k for k in table if "shared" in k and k.endswith("kernel")]
+        assert shared, f"no sharded fusion-trunk kernels: {table}"
+        flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+        for path, v in flat:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            if name in shared:
+                # trunk kernels: output features split 4-ways over 'model'
+                assert table[name][-1] == "model", (name, table[name])
+                shard_shapes = {s.data.shape for s in v.addressable_shards}
+                assert all(s[-1] == v.shape[-1] // 4 for s in shard_shapes), (
+                    name, v.shape, shard_shapes)
+        return table
+
+    table0 = assert_partitioned(state_tp)
+
+    step = jax.jit(make_train_step(cfg, cfg.data.keypoint_schema))
+    batch = synth_batch(rng, cfg, B=8)
+    sharded = shard_batch(batch, mesh)
+    state1 = create_train_state(cfg, model, jax.random.PRNGKey(0))
+
+    for i in range(3):
+        rng_i = jax.random.PRNGKey(i + 1)
+        state_tp, m_tp = step(state_tp, sharded, rng_i)
+        state1, m1 = step(state1, batch, rng_i)
+        np.testing.assert_allclose(float(m_tp["total_loss"]),
+                                   float(m1["total_loss"]), rtol=5e-3)
+
+    # updated params keep their partitioning (no silent re-replication);
+    # GSPMD may ADD propagated shardings (consumer convs pick up the
+    # 'model'-sharded activation on their input-channel dim) — that is
+    # tensor parallelism working, so superset is the contract.
+    table3 = assert_partitioned(state_tp)
+    assert set(table3) >= set(table0), (table0, table3)
