@@ -19,6 +19,8 @@ from .introspection import (
     parameter_summary,
     per_layer_parameters,
     saliency_map,
+    gradient_statistics,
+    weight_statistics,
 )
 
 __all__ = [
@@ -38,6 +40,8 @@ __all__ = [
     "occlusion_sensitivity",
     "parameter_summary",
     "per_layer_parameters",
+    "gradient_statistics",
     "saliency_map",
     "split_group_targets",
+    "weight_statistics",
 ]

@@ -45,6 +45,59 @@ def parameter_summary(params, top: int = 20) -> str:
     return "\n".join(lines)
 
 
+# -- weights (ref advanced_analysis.py:153-312, WeightAnalyzer) -------------
+
+def weight_statistics(params, sparsity_levels=(1e-6, 1e-5, 1e-4, 1e-3,
+                                               1e-2, 1e-1)) -> Dict:
+    """Weight-distribution statistics: overall mean/std, per-layer
+    mean/std (matmul/conv kernels, the reference's 'weight' filter),
+    sparsity ratios at log-spaced thresholds, and normal-Q-Q sample pairs
+    (theoretical vs ordered sample quantiles, scipy.stats.probplot
+    semantics)."""
+    from scipy import stats as sstats
+
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    per_layer = {}
+    chunks = []
+    for path, value in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if not name.endswith("kernel"):
+            continue
+        w = np.asarray(value, np.float64).ravel()
+        per_layer[name] = {"mean": float(w.mean()), "std": float(w.std()),
+                           "min": float(w.min()), "max": float(w.max()),
+                           "n": int(w.size)}
+        chunks.append(w)
+    allw = (np.concatenate(chunks) if chunks else np.zeros(1))
+    sample = np.sort(allw[:: max(1, len(allw) // 10_000)])
+    osm, osr = sstats.probplot(sample, dist="norm", fit=False)
+    slope, intercept, r = sstats.linregress(osm, osr)[:3]
+    return {
+        "overall": {"mean": float(allw.mean()), "std": float(allw.std()),
+                    "n": int(allw.size)},
+        "per_layer": per_layer,
+        "sparsity": {float(t): float((np.abs(allw) < t).mean())
+                     for t in sparsity_levels},
+        "qq": {"theoretical": osm, "ordered": osr,
+               "slope": float(slope), "intercept": float(intercept),
+               "r": float(r)},
+    }
+
+
+def gradient_statistics(grads) -> Dict[str, Dict]:
+    """Per-parameter gradient mean/std/min/max/norm
+    (ref advanced_analysis.py:249-312, analyze_gradient_statistics)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(grads)
+    out = {}
+    for path, value in flat:
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        g = np.asarray(value, np.float64).ravel()
+        out[name] = {"mean": float(g.mean()), "std": float(g.std()),
+                     "min": float(g.min()), "max": float(g.max()),
+                     "norm": float(np.linalg.norm(g))}
+    return out
+
+
 # -- activations (ref advanced_analysis.py:15-151) --------------------------
 
 def capture_activations(model, variables, x,

@@ -187,3 +187,122 @@ def per_layer_grad_norms(grads) -> Dict[str, float]:
     return {"/".join(str(getattr(p, "key", p)) for p in path):
             float(np.linalg.norm(np.asarray(v)))
             for path, v in flat}
+
+
+def plot_weight_distribution(stats: Dict, out_path: Optional[str] = None):
+    """Weight-distribution figure (ref advanced_analysis.py:153-248):
+    overall stats, normal Q-Q, per-layer mean+-std errorbars, and the
+    sparsity-vs-threshold curve, from introspection.weight_statistics."""
+    plt = _plt()
+    fig = plt.figure(figsize=(14, 9))
+    gs = fig.add_gridspec(2, 2, hspace=0.35, wspace=0.3)
+
+    qq = stats["qq"]
+    ax = fig.add_subplot(gs[0, 0])
+    ax.plot(qq["theoretical"], qq["ordered"], ".", ms=2, alpha=0.6)
+    xs = np.asarray([qq["theoretical"].min(), qq["theoretical"].max()])
+    ax.plot(xs, qq["slope"] * xs + qq["intercept"], "r-", lw=1,
+            label=f"fit r={qq['r']:.4f}")
+    ax.set_xlabel("theoretical normal quantiles")
+    ax.set_ylabel("ordered weights")
+    ax.set_title("Q-Q plot (normality check)")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+
+    ax = fig.add_subplot(gs[0, 1])
+    levels = sorted(stats["sparsity"])
+    ax.plot(range(len(levels)),
+            [100 * stats["sparsity"][t] for t in levels], "o-")
+    ax.set_xticks(range(len(levels)))
+    ax.set_xticklabels([f"{t:.0e}" for t in levels], rotation=45)
+    ax.set_xlabel("|w| threshold")
+    ax.set_ylabel("sparsity (%)")
+    ax.set_title("weight sparsity")
+    ax.grid(alpha=0.3)
+
+    ax = fig.add_subplot(gs[1, :])
+    per = stats["per_layer"]
+    names = list(per)[:30]
+    means = [per[n]["mean"] for n in names]
+    stds = [per[n]["std"] for n in names]
+    ax.errorbar(range(len(names)), means, yerr=stds, fmt="o-", capsize=3)
+    ax.axhline(0, color="r", ls="--", lw=0.8)
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels([n.split("/")[-3] if n.count("/") >= 2 else n
+                        for n in names], rotation=60, ha="right", fontsize=6)
+    ax.set_ylabel("weight value")
+    ax.set_title("per-layer weight mean +- std")
+    ax.grid(alpha=0.3)
+
+    o = stats["overall"]
+    fig.suptitle(f"Weight distribution — mean {o['mean']:.2e}, "
+                 f"std {o['std']:.2e}, n={o['n']:,}")
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_feature_maps(acts: Dict[str, np.ndarray], layer: str,
+                      out_path: Optional[str] = None,
+                      max_channels: int = 16, sample: int = 0):
+    """Feature-map grid for one captured activation (the reference's
+    FeatureVisualizer, nn_quantitative_viz.py:255-358): first
+    `max_channels` channels of one sample, each min-max normalized."""
+    plt = _plt()
+    fm = np.asarray(acts[layer])
+    if fm.ndim != 4:
+        raise ValueError(f"{layer}: expected (B, H, W, C), got {fm.shape}")
+    fm = fm[sample]
+    C = min(max_channels, fm.shape[-1])
+    cols = int(np.ceil(np.sqrt(C)))
+    rows = int(np.ceil(C / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(2 * cols, 2 * rows))
+    axes = np.atleast_1d(axes).ravel()
+    for c in range(C):
+        m = fm[..., c]
+        span = m.max() - m.min()
+        axes[c].imshow((m - m.min()) / (span + 1e-8), cmap="viridis")
+        axes[c].set_title(f"ch {c}", fontsize=6)
+    for ax in axes:
+        ax.axis("off")
+    fig.suptitle(f"feature maps: {layer}  {tuple(fm.shape)}", fontsize=9)
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_gradient_statistics(gstats: Dict[str, Dict],
+                             out_path: Optional[str] = None,
+                             top: int = 40):
+    """Gradient mean/std/range/norm panels per layer
+    (ref advanced_analysis.py:249-312)."""
+    plt = _plt()
+    names = list(gstats)[:top]
+    idx = range(len(names))
+    fig, axes = plt.subplots(2, 2, figsize=(13, 8))
+    axes[0, 0].bar(idx, [gstats[n]["mean"] for n in names], alpha=0.7)
+    axes[0, 0].axhline(0, color="r", ls="--", lw=0.8)
+    axes[0, 0].set_title("gradient mean by layer")
+    axes[0, 1].bar(idx, [gstats[n]["std"] for n in names], alpha=0.7,
+                   color="orange")
+    axes[0, 1].set_title("gradient std by layer")
+    mins = [gstats[n]["min"] for n in names]
+    maxs = [gstats[n]["max"] for n in names]
+    axes[1, 0].fill_between(idx, mins, maxs, alpha=0.3)
+    axes[1, 0].plot(idx, mins, "b-", lw=0.8, label="min")
+    axes[1, 0].plot(idx, maxs, "r-", lw=0.8, label="max")
+    axes[1, 0].legend(fontsize=7)
+    axes[1, 0].set_title("gradient range by layer")
+    norms = [max(gstats[n]["norm"], 1e-20) for n in names]
+    axes[1, 1].semilogy(idx, norms, "o-", ms=3)
+    axes[1, 1].set_title("gradient norm by layer (log)")
+    for ax in axes.flat:
+        ax.grid(alpha=0.3)
+        ax.set_xlabel("layer index")
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig

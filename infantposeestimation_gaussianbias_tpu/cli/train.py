@@ -26,6 +26,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
+    # Multi-host init must run before anything touches jax devices
+    # (no-op unless parallel.multihost=true; see parallel/mesh.py for
+    # the per-host launch recipe).
+    from ..parallel import maybe_initialize_multihost
+
+    maybe_initialize_multihost(cfg)
+
     os.makedirs(cfg.log_dir, exist_ok=True)
     setup_logging(os.path.join(cfg.log_dir, f"{cfg.exp_name}.log"))
 

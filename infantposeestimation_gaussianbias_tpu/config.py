@@ -47,6 +47,10 @@ class DataConfig:
     scale_factor: Tuple[float, float] = (0.5, 1.5)
     shift_factor: float = 0.0  # Stack-B RandomBBoxTransform adds shift 0.16.
     shift_prob: float = 0.0
+    # Photometric jitter (brightness, contrast, saturation), applied
+    # on-device inside the fused train step; Stack-B trains with
+    # (0.2, 0.2, 0.2) (ref data/coco_dataset.py:54).
+    color_jitter: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     # Normalization (ImageNet stats, as the reference).
     pixel_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
@@ -184,6 +188,13 @@ class ParallelConfig:
     model_axis: int = 1
     # Shard model hidden dims over the 'model' axis (demonstration TP).
     tensor_parallel: bool = False
+    # Multi-host: call jax.distributed.initialize() before device use.
+    # On TPU pods all three fields may stay None (auto-detected); on other
+    # platforms set coordinator ("host:port"), num_processes, process_id.
+    multihost: bool = False
+    coordinator: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
 
 
 @dataclass
@@ -350,6 +361,9 @@ def get_preemie_config() -> Config:
     cfg.data.sigma = 1.5
     cfg.data.rotation_factor = 15.0
     cfg.data.scale_factor = (0.85, 1.15)
+    # Stack-B trains with ColorJitter(0.2, 0.2, 0.2)
+    # (ref data/coco_dataset.py:54).
+    cfg.data.color_jitter = (0.2, 0.2, 0.2)
     cfg.model.morph_weight = 0.15
     cfg.model.morph_lambda = 1.2
     cfg.eval.fusion_alpha = 0.4

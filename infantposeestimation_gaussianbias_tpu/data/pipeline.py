@@ -21,6 +21,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from ..config import Config
+from ..parallel import process_shard
 from ..schemas import KeypointSchema
 from . import transforms as T
 from .coco import CocoIndex, build_records
@@ -84,19 +85,21 @@ class PoseDataset:
             "image_id": np.int64(rec["image_id"]),
             "ann_id": np.int64(rec["ann_id"]),
             "area": np.float32(rec["area"]),
+            # cross-host equalization padding (parallel.process_shard)
+            "pad": np.float32(bool(rec.get("_pad", False))),
         }
 
 
 def _collate(samples: List[Dict], pad_to: int) -> Dict[str, np.ndarray]:
     n = len(samples)
     batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-    valid = np.ones(n, np.float32)
+    valid = 1.0 - batch.pop("pad", np.zeros(n, np.float32))
     if n < pad_to:
         reps = pad_to - n
         for k, v in batch.items():
             batch[k] = np.concatenate([v] + [v[-1:]] * reps, axis=0)
         valid = np.concatenate([valid, np.zeros(reps, np.float32)])
-    batch["valid"] = valid
+    batch["valid"] = valid.astype(np.float32)
     return batch
 
 
@@ -171,9 +174,17 @@ def build_dataloader(cfg: Config, is_train: bool,
     records = build_records(index, img_prefix="",
                             bbox_padding=d.bbox_padding,
                             one_per_image=one_per_image)
+    # Multi-host: each process loads only its shard of the records and
+    # feeds 1/process_count of the global batch (parallel.shard_batch
+    # assembles the global array).  Identity on a single host.
+    import jax
+
+    records = process_shard(records,
+                            equalize="truncate" if is_train else "pad")
     ds = PoseDataset(cfg, records, os.path.join(d.data_root, prefix),
                      is_train, image_cache=image_cache)
     bs = cfg.train.global_batch_size if is_train else cfg.eval.batch_size
+    bs = max(1, bs // jax.process_count())
     return DataLoader(ds, bs, shuffle=is_train, seed=cfg.train.seed,
                       drop_last=is_train)
 

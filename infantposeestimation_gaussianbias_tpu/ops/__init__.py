@@ -23,9 +23,12 @@ from .decode import (
     window_centroid_refine,
 )
 from .heatmap import generate_targets
+from .photometric import color_jitter, color_jitter_normalized
 
 __all__ = [
     "argmax_decode",
+    "color_jitter",
+    "color_jitter_normalized",
     "crop_and_normalize",
     "flip_heatmaps",
     "fused_alpha_decode",

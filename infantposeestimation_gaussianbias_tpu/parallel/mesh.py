@@ -25,11 +25,61 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def initialize_multihost(coordinator: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
-    """Multi-host init (no-op single-host). Call before create_mesh on pods."""
-    if num_processes is not None and num_processes > 1:
+    """Multi-host init. Call before any other jax use on pods.
+
+    With all-None arguments jax.distributed.initialize() auto-detects the
+    topology on TPU pods; explicit (coordinator, num_processes, process_id)
+    are for other launchers."""
+    if coordinator is None and num_processes is None:
+        jax.distributed.initialize()
+    else:
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
+
+
+def maybe_initialize_multihost(cfg) -> None:
+    """Config-driven multi-host init (the cli/train entry hook).
+
+    Launch recipe (one process per TPU-VM host, same command everywhere):
+        python -m infantposeestimation_gaussianbias_tpu.cli.train \
+            --set parallel.multihost=true ...
+    On TPU pods nothing else is needed; elsewhere also set
+    parallel.coordinator=host:port parallel.num_processes=N
+    parallel.process_id=$RANK."""
+    p = cfg.parallel
+    if getattr(p, "multihost", False):
+        initialize_multihost(p.coordinator, p.num_processes, p.process_id)
+
+
+def process_shard(records: Sequence, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None,
+                  equalize: str = "truncate") -> list:
+    """Per-host slice of the record list: records[pi::pc] (identity on a
+    single host).
+
+    Because every jit'd step over a global mesh is a collective, all hosts
+    MUST iterate the same number of batches; shards are therefore
+    equalized: 'truncate' drops the ragged tail (training — it reappears
+    next epoch under shuffling), 'pad' repeats the shard's last record
+    flagged `_pad: True` so the loader can mask it out (validation — no
+    sample may be dropped, none may be double-counted)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    recs = list(records)[pi::pc]
+    if pc == 1:
+        return recs
+    n = len(records)
+    if equalize == "truncate":
+        return recs[: n // pc]
+    if equalize == "pad":
+        target = -(-n // pc)
+        while len(recs) < target:
+            pad = dict(recs[-1])
+            pad["_pad"] = True
+            recs.append(pad)
+        return recs
+    raise ValueError(f"Unknown equalize mode {equalize!r}")
 
 
 def create_mesh(data_axis: int = 0, model_axis: int = 1,
@@ -62,9 +112,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host pytree of arrays with batch-axis sharding."""
+    """Place a host pytree of arrays with batch-axis sharding.
+
+    Single host: a plain device_put of the full array.  Multi-host: each
+    process contributes its LOCAL rows (1/process_count of the global
+    batch, from its process_shard'd loader) and the result is a global
+    jax.Array assembled across hosts."""
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sh, np.asarray(x)), batch)
+
+
+def host_local_rows(x) -> np.ndarray:
+    """Rows of a batch-sharded device array owned by this process, in
+    ascending global-row order (the full array on a single host)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allgather_host_values(tree):
+    """All-gather a pytree of per-process numpy arrays; returns the pytree
+    with each leaf concatenated over processes (identity on one host)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(tree)
+    return jax.tree_util.tree_map(
+        lambda g: np.concatenate(list(np.asarray(g)), axis=0), gathered)
 
 
 def param_sharding_rules(path: tuple, value, mesh: Mesh,

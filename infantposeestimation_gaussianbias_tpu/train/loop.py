@@ -21,7 +21,12 @@ from ..data.pipeline import DataLoader, device_batch
 from ..eval import COCOEvaluator, MetricLogger
 from ..models import build_model, flip_inference
 from ..ops import decode as decode_ops
-from ..parallel import create_mesh, shard_batch
+from ..parallel import (
+    allgather_host_values,
+    create_mesh,
+    host_local_rows,
+    shard_batch,
+)
 from .checkpoint import CheckpointManager
 from .logging import MetricsWriter
 from .optim import build_optimizer
@@ -75,13 +80,22 @@ def validate(cfg: Config, state, loader: DataLoader,
             db = shard_batch(db, mesh)
         coords, scores = infer_batch(variables, db["image"],
                                      db["center"], db["scale"])
-        evaluator.update(batch["image_id"], np.asarray(coords),
-                         np.asarray(scores), valid=batch["valid"] > 0)
+        # Multi-host: every process holds only its rows of the sharded
+        # outputs; gather each batch so all hosts accumulate the full
+        # prediction set (and compute identical AP).  Identity on 1 host.
+        pack = allgather_host_values({
+            "coords": host_local_rows(coords),
+            "scores": host_local_rows(scores),
+            "ids": np.asarray(batch["image_id"]),
+            "valid": np.asarray(batch["valid"]),
+        })
+        evaluator.update(pack["ids"], pack["coords"], pack["scores"],
+                         valid=pack["valid"] > 0)
         if eval_step is not None:
             _, terms = eval_step(state, db)
-            loss_meter.update(n=int(batch["valid"].sum()),
+            loss_meter.update(n=int(pack["valid"].sum()),
                               val_loss=float(terms["total_loss"]))
-        n += int(batch["valid"].sum())
+        n += int(pack["valid"].sum())
     results = evaluator.evaluate()
     if eval_step is not None:
         results.update(loss_meter.summary())
@@ -137,7 +151,10 @@ def train(cfg: Config, train_loader: DataLoader,
     epochs = max_epochs if max_epochs is not None else cfg.train.max_epochs
     dropout_rng = jax.random.PRNGKey(cfg.train.seed + 1)
     _, lr_schedule = build_optimizer(cfg, steps_per_epoch)
-    writer = MetricsWriter(cfg.log_dir)
+    # metrics files are written by process 0 only; checkpoint saves stay
+    # on every process (orbax multi-host saves are collective)
+    writer = (MetricsWriter(cfg.log_dir) if jax.process_index() == 0
+              else None)
 
     for epoch in range(start_epoch, epochs):
         logger = MetricLogger()
@@ -152,7 +169,8 @@ def train(cfg: Config, train_loader: DataLoader,
                 scalars = {k: float(v) for k, v in metrics.items()}
                 scalars["lr"] = float(lr_schedule(int(state.step)))
                 logger.update(**scalars)
-                writer.write(int(state.step), scalars, prefix="train/")
+                if writer is not None:
+                    writer.write(int(state.step), scalars, prefix="train/")
                 log.info("epoch %d [%d/%d] %s", epoch, i + 1,
                          steps_per_epoch,
                          " ".join(f"{k}={v:.4f}"
@@ -165,7 +183,8 @@ def train(cfg: Config, train_loader: DataLoader,
                 (epoch + 1) % cfg.train.val_interval == 0):
             results = validate(cfg, state, val_loader, gt_dataset, mesh)
             metrics_out.update(results)
-            writer.write(int(state.step), results, prefix="val/")
+            if writer is not None:
+                writer.write(int(state.step), results, prefix="val/")
         best, is_best = ckpt.save(
             state, epoch, metrics_out, best, monitor=cfg.train.save_best,
             latest_interval=cfg.train.save_latest_interval)

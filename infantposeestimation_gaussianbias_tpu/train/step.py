@@ -104,14 +104,21 @@ def simcc_loss(outputs, keypoints, weight, input_size, split_ratio,
 
 def make_train_step(cfg, schema) -> Callable:
     """Build the fused train step: (state, batch, rng) -> (state, metrics)."""
+    from ..ops.photometric import color_jitter_normalized
+
     heatmap_size = tuple(cfg.data.heatmap_size)
     input_size = tuple(cfg.data.input_size)
     sigma = cfg.data.sigma
+    jitter = tuple(getattr(cfg.data, "color_jitter", (0.0, 0.0, 0.0)))
+    mean, std = cfg.data.pixel_mean, cfg.data.pixel_std
     loss_fn = make_loss_fn(cfg, schema)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         target, weight = _targets(batch, heatmap_size, input_size, sigma)
+        rng, jitter_rng = jax.random.split(rng)
+        images = color_jitter_normalized(jitter_rng, batch["image"],
+                                         mean, std, *jitter)
 
         def compute(params):
             variables = {"params": params}
@@ -120,7 +127,7 @@ def make_train_step(cfg, schema) -> Callable:
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
             outputs, mutated = state.apply_fn(
-                variables, batch["image"], True, mutable=mutable,
+                variables, images, True, mutable=mutable,
                 rngs={"dropout": rng})
             loss, terms = loss_fn(outputs, batch, target, weight)
             return loss, (terms, mutated.get("batch_stats"))

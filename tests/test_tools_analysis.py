@@ -246,3 +246,73 @@ def test_plots_smoke(tmp_path):
                               out_path=str(tmp_path / "conf.png"))
     assert (tmp_path / "pck.png").exists()
     assert (tmp_path / "p3d.png").exists()
+
+
+def test_weight_and_gradient_statistics(tmp_path):
+    """WeightAnalyzer/gradient-stats parity additions
+    (ref advanced_analysis.py:153-312)."""
+    from infantposeestimation_gaussianbias_tpu.analysis import (
+        gradient_statistics,
+        weight_statistics,
+    )
+    from infantposeestimation_gaussianbias_tpu.analysis.plots import (
+        plot_gradient_statistics,
+        plot_weight_distribution,
+    )
+    from infantposeestimation_gaussianbias_tpu.models import PoseEstimator
+
+    model = PoseEstimator(backbone_name="litehrnet", head_type="heatmap",
+                          num_keypoints=5)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+
+    stats = weight_statistics(variables["params"])
+    assert stats["overall"]["n"] > 1000
+    assert stats["per_layer"] and all(
+        k.endswith("kernel") for k in stats["per_layer"])
+    # kaiming-normal init: the Q-Q fit against a normal must be strong
+    assert stats["qq"]["r"] > 0.9
+    # sparsity is monotone in the threshold
+    levels = sorted(stats["sparsity"])
+    vals = [stats["sparsity"][t] for t in levels]
+    assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+
+    p = tmp_path / "weights.png"
+    plot_weight_distribution(stats, str(p))
+    assert p.exists() and p.stat().st_size > 0
+
+    # gradient statistics from a real grad tree
+    def loss(params):
+        out = model.apply({**variables, "params": params}, x, False)
+        return jnp.mean(out["heatmaps"] ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    gstats = gradient_statistics(grads)
+    assert gstats and all(
+        set(v) == {"mean", "std", "min", "max", "norm"}
+        for v in gstats.values())
+    p2 = tmp_path / "grads.png"
+    plot_gradient_statistics(gstats, str(p2))
+    assert p2.exists() and p2.stat().st_size > 0
+
+
+def test_feature_map_grid(tmp_path):
+    """FeatureVisualizer grid (ref nn_quantitative_viz.py:255-358)."""
+    from infantposeestimation_gaussianbias_tpu.analysis import (
+        capture_activations,
+    )
+    from infantposeestimation_gaussianbias_tpu.analysis.plots import (
+        plot_feature_maps,
+    )
+    from infantposeestimation_gaussianbias_tpu.models import PoseEstimator
+
+    model = PoseEstimator(backbone_name="litehrnet", head_type="heatmap",
+                          num_keypoints=5)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    acts = capture_activations(model, variables, x)
+    layer = next(k for k, v in acts.items() if np.asarray(v).ndim == 4)
+    p = tmp_path / "fmaps.png"
+    plot_feature_maps(acts, layer, str(p), max_channels=9)
+    assert p.exists() and p.stat().st_size > 0
