@@ -316,3 +316,18 @@ def test_feature_map_grid(tmp_path):
     p = tmp_path / "fmaps.png"
     plot_feature_maps(acts, layer, str(p), max_channels=9)
     assert p.exists() and p.stat().st_size > 0
+
+
+def test_validate_reference_checkpoint_dry_run(capsys):
+    """The one-command reference-.pth parity validator runs end to end on
+    synthetic fixtures: torch-layout checkpoint -> import -> flip-test
+    validate -> COCOeval -> comparison table vs the reference's claims."""
+    pytest.importorskip("torch")
+    from infantposeestimation_gaussianbias_tpu.tools import (
+        validate_reference_checkpoint as vrc,
+    )
+
+    results = vrc.main(["--dry-run", "--batch-size", "2"])
+    out = capsys.readouterr().out
+    assert "reference" in out and "delta" in out
+    assert set(results) >= {"AP", "AP50", "AP75"}
