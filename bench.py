@@ -38,11 +38,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_IMG_PER_S = 45.0  # RTX 3090 HRNet-W32 (~22 ms/img)
 
 
-def build(batch_size: int):
+def build(batch_size: int, quant: bool = False):
     from infantposeestimation_gaussianbias_tpu.config import Config
     from infantposeestimation_gaussianbias_tpu.models import (
         build_model,
         decode_outputs,
+        quantize_model,
     )
     from infantposeestimation_gaussianbias_tpu.ops import affine, decode
 
@@ -60,6 +61,19 @@ def build(batch_size: int):
 
     W, H = cfg.data.input_size
     hm_w, hm_h = cfg.data.heatmap_size
+
+    if quant:
+        # int8 PTQ serving path: calibrate on a synthetic crop batch,
+        # then swap in the quantized model (ops/quant.py).
+        rng0 = np.random.RandomState(7)
+        calib_frames = jnp.asarray(
+            rng0.randint(0, 255, (64, 512, 512, 3)).astype(np.float32))
+        cc = jnp.asarray(rng0.uniform(128, 384, (64, 2)).astype(np.float32))
+        cs = jnp.asarray(np.repeat(rng0.uniform(150, 400, (64, 1)), 2, 1)
+                         .astype(np.float32))
+        crops = affine.crop_and_normalize(calib_frames, cc, cs, (W, H))
+        variables = quantize_model(cfg, variables, [crops])
+        model = build_model(cfg, quant=True)
 
     def one_crop_pass(variables, frames, centers, scales):
         crops = affine.crop_and_normalize(frames, centers, scales, (W, H))
@@ -113,8 +127,9 @@ def main():
     bs = int(os.environ.get("BENCH_BATCH", "512"))
     chain = int(os.environ.get("BENCH_CHAIN", "16"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"
 
-    chained, args = build(bs)
+    chained, args = build(bs, quant=quant)
     t1 = timed(chained(1), args, repeats)
     tk = timed(chained(chain), args, repeats)
     per_iter = (tk - t1) / (chain - 1)

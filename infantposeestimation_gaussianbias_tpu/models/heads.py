@@ -34,10 +34,15 @@ class HeatmapHead(nn.Module):
     deconv_kernels: Tuple[int, ...] = (4, 4, 4)
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        if self.quant:
+            # int8 backbones hand over a QTensor; the head itself stays in
+            # the compute dtype (cheap final convs, precision-sensitive).
+            x = x.dequantize(self.dtype)
         for i in range(self.num_deconv_layers):
             k = self.deconv_kernels[i]
             x = nn.ConvTranspose(self.deconv_filters[i], (k, k),
@@ -65,33 +70,38 @@ class FusionHead(nn.Module):
     hidden_dim: int = 256
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         h = self.hidden_dim
         K = self.num_keypoints
+        kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
+                  calibrate=self.calibrate)
+
+        def deq(t):
+            # int8 mode: branch ConvNorms emit QTensors; the 1x1 finals
+            # run in the compute dtype on the dequantized activations
+            # (cheap and precision-sensitive — decode reads them).
+            return t.dequantize(self.dtype) if self.quant else t
 
         for i in range(2):
-            x = ConvNorm(h, 3, norm=self.norm, dtype=self.dtype,
-                         name=f"shared{i}")(x, train)
+            x = ConvNorm(h, 3, name=f"shared{i}", **kw)(x, train)
 
-        hm = ConvNorm(h, 3, norm=self.norm, dtype=self.dtype,
-                      name="hm_conv")(x, train)
+        hm = ConvNorm(h, 3, name="hm_conv", **kw)(x, train)
         heatmaps = nn.Conv(K, (1, 1), kernel_init=final_init,
-                           dtype=self.dtype, name="hm_final")(hm)
+                           dtype=self.dtype, name="hm_final")(deq(hm))
 
-        off = ConvNorm(h, 3, norm=self.norm, dtype=self.dtype,
-                       name="off_conv")(x, train)
+        off = ConvNorm(h, 3, name="off_conv", **kw)(x, train)
         offsets = nn.Conv(K * 2, (1, 1), kernel_init=final_init,
-                          dtype=self.dtype, name="off_final")(off)
+                          dtype=self.dtype, name="off_final")(deq(off))
         B, H, W, _ = offsets.shape
         offsets = offsets.reshape(B, H, W, K, 2)
 
-        var = ConvNorm(h // 2, 3, norm=self.norm, dtype=self.dtype,
-                       name="var_conv")(x, train)
+        var = ConvNorm(h // 2, 3, name="var_conv", **kw)(x, train)
         variances = nn.Conv(K, (1, 1), kernel_init=final_init,
-                            dtype=self.dtype, name="var_final")(var)
+                            dtype=self.dtype, name="var_final")(deq(var))
         variances = jax.nn.softplus(variances.astype(jnp.float32))
 
         # Learnable scalars, stored as raw logits; the reference stores

@@ -30,36 +30,43 @@ class HRModule(nn.Module):
     num_blocks: int = 4
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
-    def __call__(self, xs: List[jnp.ndarray], train: bool = False
-                 ) -> List[jnp.ndarray]:
+    def __call__(self, xs, train: bool = False):
         n = len(self.num_channels)
+        kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
+                  calibrate=self.calibrate)
         # Branch blocks.
         ys = []
         for i, x in enumerate(xs):
             for b in range(self.num_blocks):
-                x = BasicBlock(self.num_channels[i], norm=self.norm,
-                               dtype=self.dtype, name=f"branch{i}_block{b}")(
-                                   x, train)
+                x = BasicBlock(self.num_channels[i],
+                               name=f"branch{i}_block{b}", **kw)(x, train)
             ys.append(x)
         if n == 1:
             return ys
 
         # All-pairs fuse: output i sums contributions from every branch j.
+        # int8 mode: every contribution lands in f32 (the identity branch
+        # dequantizes, projection/downsample convs skip requant), the sum +
+        # ReLU is one fusion, and the result requantizes with a per-output
+        # calibrated scale.
         fused = []
         for i in range(n):
+            h_i, w_i = ys[i].shape[1], ys[i].shape[2]
             acc = None
             for j in range(n):
                 if j == i:
-                    contrib = ys[j]
+                    contrib = ys[j].dequantize(jnp.float32) \
+                        if self.quant else ys[j]
                 elif j > i:
                     # channel-project then bilinear upsample to branch i res
-                    contrib = ConvNorm(self.num_channels[i], 1, use_relu=False,
-                                       norm=self.norm, dtype=self.dtype,
-                                       name=f"fuse{i}_{j}")(ys[j], train)
-                    contrib = resize_bilinear(contrib, ys[i].shape[1],
-                                              ys[i].shape[2])
+                    contrib = ConvNorm(self.num_channels[i], 1,
+                                       use_relu=False, quant_out=False,
+                                       name=f"fuse{i}_{j}", **kw)(ys[j], train)
+                    contrib = resize_bilinear(contrib, h_i, w_i)
                 else:
                     # chain of stride-2 3x3 convs; last one changes channels
                     # and has no ReLU (ref models/hrnet.py:178-191)
@@ -68,11 +75,19 @@ class HRModule(nn.Module):
                         last = k == i - j - 1
                         contrib = ConvNorm(
                             self.num_channels[i] if last else self.num_channels[j],
-                            3, strides=2, use_relu=not last, norm=self.norm,
-                            dtype=self.dtype, name=f"fuse{i}_{j}_{k}")(
-                                contrib, train)
+                            3, strides=2, use_relu=not last,
+                            quant_out=not last,
+                            name=f"fuse{i}_{j}_{k}", **kw)(contrib, train)
                 acc = contrib if acc is None else acc + contrib
-            fused.append(nn.relu(acc))
+            out = nn.relu(acc)
+            if self.quant:
+                from ..ops import quant as quant_ops
+                out = quant_ops.requantize(
+                    out, self.variable("qparams", f"fused{i}_scale").value)
+            elif self.calibrate:
+                from .layers import sow_absmax
+                sow_absmax(self, f"fused{i}_absmax", out)
+            fused.append(out)
         return fused
 
 
@@ -82,9 +97,11 @@ class HRNet(nn.Module):
     base_channels: int = 32
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False):
         C = self.base_channels
         stage_channels = [
             (C, 2 * C),
@@ -92,17 +109,25 @@ class HRNet(nn.Module):
             (C, 2 * C, 4 * C, 8 * C),
         ]
         stage_modules = [1, 4, 3]
+        kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
+                  calibrate=self.calibrate)
+
+        if self.quant:
+            from ..ops import quant as quant_ops
+            x = quant_ops.requantize(
+                x.astype(jnp.float32),
+                self.variable("qparams", "input_scale").value)
+        elif self.calibrate:
+            from .layers import sow_absmax
+            sow_absmax(self, "input_absmax", x)
 
         # Stem: two stride-2 3x3 convs to 64ch (ref :252-257).
-        x = ConvNorm(64, 3, strides=2, norm=self.norm, dtype=self.dtype,
-                     name="stem1")(x, train)
-        x = ConvNorm(64, 3, strides=2, norm=self.norm, dtype=self.dtype,
-                     name="stem2")(x, train)
+        x = ConvNorm(64, 3, strides=2, name="stem1", **kw)(x, train)
+        x = ConvNorm(64, 3, strides=2, name="stem2", **kw)(x, train)
 
         # Stage 1: 4 Bottlenecks 64 -> 256 (ref :260).
         for b in range(4):
-            x = Bottleneck(64, norm=self.norm, dtype=self.dtype,
-                           name=f"layer1_block{b}")(x, train)
+            x = Bottleneck(64, name=f"layer1_block{b}", **kw)(x, train)
 
         # Transitions + exchange stages.
         xs = [x]
@@ -116,25 +141,29 @@ class HRNet(nn.Module):
                 if i < len(xs):
                     if xs[i].shape[-1] != ch:
                         new_xs.append(ConvNorm(
-                            ch, 3, norm=self.norm, dtype=self.dtype,
-                            name=f"transition{s + 1}_{i}")(xs[i], train))
+                            ch, 3, name=f"transition{s + 1}_{i}", **kw)(
+                                xs[i], train))
                     else:
                         new_xs.append(xs[i])
                 else:
                     new_xs.append(ConvNorm(
-                        ch, 3, strides=2, norm=self.norm, dtype=self.dtype,
-                        name=f"transition{s + 1}_{i}")(xs[-1], train))
+                        ch, 3, strides=2, name=f"transition{s + 1}_{i}",
+                        **kw)(xs[-1], train))
             xs = new_xs
             for m in range(modules):
-                xs = HRModule(channels, norm=self.norm, dtype=self.dtype,
-                              name=f"stage{s + 2}_module{m}")(xs, train)
+                xs = HRModule(channels, name=f"stage{s + 2}_module{m}",
+                              **kw)(xs, train)
 
         return xs[0]
 
 
-def hrnet_w32(norm: str = "batchnorm", dtype: Any = jnp.float32) -> HRNet:
-    return HRNet(base_channels=32, norm=norm, dtype=dtype)
+def hrnet_w32(norm: str = "batchnorm", dtype: Any = jnp.float32,
+              quant: bool = False, calibrate: bool = False) -> HRNet:
+    return HRNet(base_channels=32, norm=norm, dtype=dtype, quant=quant,
+                 calibrate=calibrate)
 
 
-def hrnet_w48(norm: str = "batchnorm", dtype: Any = jnp.float32) -> HRNet:
-    return HRNet(base_channels=48, norm=norm, dtype=dtype)
+def hrnet_w48(norm: str = "batchnorm", dtype: Any = jnp.float32,
+              quant: bool = False, calibrate: bool = False) -> HRNet:
+    return HRNet(base_channels=48, norm=norm, dtype=dtype, quant=quant,
+                 calibrate=calibrate)

@@ -16,13 +16,32 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import quant as quant_ops
+from ..ops.quant import QTensor
+
 # kaiming-normal fan_out, matching the reference init
 # (/root/reference/models/hrnet.py:389-396).
 conv_kernel_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
+_absmax_init = lambda: jnp.zeros((), jnp.float32)
+
+
+def sow_absmax(module: nn.Module, name: str, x: jnp.ndarray) -> None:
+    """Record the running abs-max of ``x`` for PTQ calibration
+    (ops/quant.py); no-op unless the 'calib' collection is mutable."""
+    module.sow("calib", name, jnp.max(jnp.abs(x)).astype(jnp.float32),
+               init_fn=_absmax_init, reduce_fn=jnp.maximum)
+
 
 class ConvNorm(nn.Module):
-    """Conv -> Norm (-> optional ReLU), bias-free conv like the reference."""
+    """Conv -> Norm (-> optional ReLU), bias-free conv like the reference.
+
+    ``quant`` switches to the int8 serving path (ops/quant.py): the input
+    is a QTensor, the conv runs int8 x int8 -> int32 on the MXU, and the
+    dequant + folded-BN affine + ReLU + (optional) requant epilogue is one
+    XLA fusion.  ``calibrate`` makes the float path sow the output abs-max
+    used to derive the requant scale.
+    """
 
     features: int
     kernel_size: int = 3
@@ -30,9 +49,14 @@ class ConvNorm(nn.Module):
     use_relu: bool = True
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
+    quant: bool = False
+    quant_out: bool = True   # requantize the output to int8
+    calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False):
+        if self.quant:
+            return self._quant_call(x)
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -46,7 +70,23 @@ class ConvNorm(nn.Module):
         x = make_norm(self.norm, name="norm")(x, train)
         if self.use_relu:
             x = nn.relu(x)
+        if self.calibrate:
+            sow_absmax(self, "out_absmax", x)
         return x
+
+    def _quant_call(self, x: QTensor):
+        q = {k: self.variable("qparams", k).value
+             for k in ("w_int8", "eff_scale", "eff_bias")}
+        p = self.kernel_size // 2
+        y = quant_ops.qconv_affine(
+            x, q, strides=(self.strides, self.strides),
+            padding=((p, p), (p, p)))
+        if self.use_relu:
+            y = jnp.maximum(y, 0.0)
+        if self.quant_out:
+            return quant_ops.requantize(
+                y, self.variable("qparams", "out_scale").value)
+        return y
 
 
 class BatchNorm(nn.Module):
@@ -119,20 +159,34 @@ def make_norm(kind: str, name: str) -> Norm:
 
 
 class BasicBlock(nn.Module):
-    """Two 3x3 convs + identity residual (ref models/hrnet.py:12-53)."""
+    """Two 3x3 convs + identity residual (ref models/hrnet.py:12-53).
+
+    int8 mode: conv1 emits int8, conv2 emits f32 (its epilogue), the
+    dequantized residual joins in the same fusion, and the block output
+    is requantized with its own calibrated scale.
+    """
 
     features: int
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        residual = x
-        y = ConvNorm(self.features, 3, norm=self.norm, dtype=self.dtype,
-                     name="conv1")(x, train)
-        y = ConvNorm(self.features, 3, use_relu=False, norm=self.norm,
-                     dtype=self.dtype, name="conv2")(y, train)
-        return nn.relu(y + residual)
+    def __call__(self, x, train: bool = False):
+        kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
+                  calibrate=self.calibrate)
+        y = ConvNorm(self.features, 3, name="conv1", **kw)(x, train)
+        y = ConvNorm(self.features, 3, use_relu=False, name="conv2",
+                     quant_out=False, **kw)(y, train)
+        if self.quant:
+            out = jnp.maximum(y + x.dequantize(jnp.float32), 0.0)
+            return quant_ops.requantize(
+                out, self.variable("qparams", "out_scale").value)
+        out = nn.relu(y + x)
+        if self.calibrate:
+            sow_absmax(self, "out_absmax", out)
+        return out
 
 
 class Bottleneck(nn.Module):
@@ -146,21 +200,32 @@ class Bottleneck(nn.Module):
     expansion: int = 4
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, train: bool = False):
         out_ch = self.features * self.expansion
-        residual = x
-        if x.shape[-1] != out_ch:
-            residual = ConvNorm(out_ch, 1, use_relu=False, norm=self.norm,
-                                dtype=self.dtype, name="downsample")(x, train)
-        y = ConvNorm(self.features, 1, norm=self.norm, dtype=self.dtype,
-                     name="conv1")(x, train)
-        y = ConvNorm(self.features, 3, norm=self.norm, dtype=self.dtype,
-                     name="conv2")(y, train)
-        y = ConvNorm(out_ch, 1, use_relu=False, norm=self.norm,
-                     dtype=self.dtype, name="conv3")(y, train)
-        return nn.relu(y + residual)
+        kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
+                  calibrate=self.calibrate)
+        in_ch = x.shape[-1]
+        if in_ch != out_ch:
+            residual = ConvNorm(out_ch, 1, use_relu=False, quant_out=False,
+                                name="downsample", **kw)(x, train)
+        else:
+            residual = x.dequantize(jnp.float32) if self.quant else x
+        y = ConvNorm(self.features, 1, name="conv1", **kw)(x, train)
+        y = ConvNorm(self.features, 3, name="conv2", **kw)(y, train)
+        y = ConvNorm(out_ch, 1, use_relu=False, quant_out=False,
+                     name="conv3", **kw)(y, train)
+        if self.quant:
+            out = jnp.maximum(y + residual, 0.0)
+            return quant_ops.requantize(
+                out, self.variable("qparams", "out_scale").value)
+        out = nn.relu(y + residual)
+        if self.calibrate:
+            sow_absmax(self, "out_absmax", out)
+        return out
 
 
 def _resize_weights(out_size: int, in_size: int) -> jnp.ndarray:

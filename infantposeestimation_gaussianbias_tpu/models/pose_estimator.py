@@ -44,22 +44,39 @@ class PoseEstimator(nn.Module):
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # int8 PTQ serving mode / calibration mode (ops/quant.py).  Supported
+    # for the HRNet backbones with the fusion/heatmap heads.
+    quant: bool = False
+    calibrate: bool = False
 
     def setup(self):
         kwargs = dict(norm=self.norm, dtype=self.dtype)
         if self.backbone_name.startswith("hrformer"):
             kwargs["use_pallas"] = self.use_pallas
+        if self.quant or self.calibrate:
+            if not self.backbone_name.startswith("hrnet"):
+                raise ValueError(
+                    f"int8 PTQ supports the hrnet backbones, not "
+                    f"{self.backbone_name!r}")
+            if self.head_type not in ("fusion", "heatmap"):
+                raise ValueError(
+                    f"int8 PTQ supports fusion/heatmap heads, not "
+                    f"{self.head_type!r}")
+            kwargs.update(quant=self.quant, calibrate=self.calibrate)
         if self.backbone_name not in BACKBONES:
             raise ValueError(f"Unknown backbone {self.backbone_name!r}; "
                              f"known: {sorted(BACKBONES)}")
         self.backbone = BACKBONES[self.backbone_name](**kwargs)
 
+        head_q = (dict(quant=self.quant, calibrate=self.calibrate)
+                  if (self.quant or self.calibrate) else {})
         if self.head_type == "fusion":
             self.head = FusionHead(self.num_keypoints, self.hidden_dim,
-                                   norm=self.norm, dtype=self.dtype)
+                                   norm=self.norm, dtype=self.dtype,
+                                   **head_q)
         elif self.head_type == "heatmap":
             self.head = HeatmapHead(self.num_keypoints, norm=self.norm,
-                                    dtype=self.dtype)
+                                    dtype=self.dtype, **head_q)
         elif self.head_type == "fused":
             self.head = FusedHead(self.num_keypoints, norm=self.norm,
                                   dtype=self.dtype)
@@ -78,8 +95,12 @@ class PoseEstimator(nn.Module):
             return self.head(feats, train)
 
 
-def build_model(cfg) -> PoseEstimator:
-    """Build from a Config (ref models/pose_estimator.py:376-392)."""
+def build_model(cfg, quant: bool = False,
+                calibrate: bool = False) -> PoseEstimator:
+    """Build from a Config (ref models/pose_estimator.py:376-392).
+
+    ``quant``/``calibrate`` build the int8 PTQ serving / calibration
+    variants of the same architecture (see ops/quant.py)."""
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     return PoseEstimator(
         backbone_name=cfg.model.backbone,
@@ -91,6 +112,8 @@ def build_model(cfg) -> PoseEstimator:
         norm=cfg.model.norm,
         dtype=dtype,
         use_pallas=getattr(cfg.model, "use_pallas", False),
+        quant=quant,
+        calibrate=calibrate,
     )
 
 

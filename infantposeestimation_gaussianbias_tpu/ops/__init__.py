@@ -24,8 +24,17 @@ from .decode import (
 )
 from .heatmap import generate_targets
 from .photometric import color_jitter, color_jitter_normalized
+from .quant import (
+    QTensor,
+    convert_tree,
+    fold_batchnorm,
+    quantize_act,
+    quantize_weight,
+    requantize,
+)
 
 __all__ = [
+    "QTensor",
     "argmax_decode",
     "color_jitter",
     "color_jitter_normalized",
@@ -37,7 +46,12 @@ __all__ = [
     "get_affine_matrix",
     "invert_affine",
     "local_gaussian_refine",
+    "convert_tree",
+    "fold_batchnorm",
+    "quantize_act",
+    "quantize_weight",
     "quarter_shift_decode",
+    "requantize",
     "sample_at_coords",
     "soft_argmax",
     "subpixel_refine",
