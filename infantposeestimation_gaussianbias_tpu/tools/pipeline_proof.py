@@ -77,6 +77,7 @@ def build_synthetic_pose_dataset(n: int, num_kpts: int = 17,
 def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
         backbone: str = "litehrnet", head_type: str = "heatmap",
         lr: float = 2e-3, save_checkpoints: bool = True,
+        quantize: bool = False, max_quant_ap_drop: float = 0.03,
         verbose: bool = True) -> float:
     import jax
 
@@ -122,6 +123,33 @@ def run(train_images: int = 64, epochs: int = 400, ap_threshold: float = 0.5,
         print({k: round(v, 4) for k, v in results.items()})
     assert results["AP"] >= ap_threshold, \
         f"pipeline proof failed: AP {results['AP']:.3f} < {ap_threshold}"
+
+    if quantize:
+        # int8 PTQ AP-delta guard: quantize the trained model (calibrating
+        # on augment-free val crops) and re-run the identical flip-test
+        # validation; serving in int8 must not cost meaningful AP.
+        from types import SimpleNamespace
+
+        from ..data.pipeline import device_batch
+        from ..models import build_model, quantize_model
+
+        calib = []
+        for batch in val_loader.epoch(0):
+            calib.append(device_batch(batch, cfg.data.pixel_mean,
+                                      cfg.data.pixel_std)["image"])
+            if len(calib) >= 4:
+                break
+        qvars = quantize_model(cfg, state.variables, calib)
+        qmodel = build_model(cfg, quant=True)
+        qstate = SimpleNamespace(apply_fn=qmodel.apply, variables=qvars)
+        q_results = validate(cfg, qstate, val_loader, synth, with_loss=False)
+        if verbose:
+            print({f"int8_{k}": round(v, 4) for k, v in q_results.items()})
+        drop = results["AP"] - q_results["AP"]
+        assert drop <= max_quant_ap_drop, \
+            f"int8 AP drop {drop:.4f} > {max_quant_ap_drop} " \
+            f"(float {results['AP']:.4f} vs int8 {q_results['AP']:.4f})"
+        return q_results["AP"]
     return results["AP"]
 
 
@@ -135,6 +163,11 @@ if __name__ == "__main__":
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--ap-threshold", type=float, default=0.5)
     p.add_argument("--no-checkpoints", action="store_true")
+    p.add_argument("--quantize", action="store_true",
+                   help="also validate the int8 PTQ model and assert the "
+                        "AP drop stays within --max-quant-ap-drop")
+    p.add_argument("--max-quant-ap-drop", type=float, default=0.03)
     a = p.parse_args()
     run(epochs=a.epochs, ap_threshold=a.ap_threshold, backbone=a.backbone,
-        head_type=a.head, lr=a.lr, save_checkpoints=not a.no_checkpoints)
+        head_type=a.head, lr=a.lr, save_checkpoints=not a.no_checkpoints,
+        quantize=a.quantize, max_quant_ap_drop=a.max_quant_ap_drop)
