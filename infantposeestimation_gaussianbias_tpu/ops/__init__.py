@@ -6,6 +6,7 @@ from .affine import (
     invert_affine,
     transform_points,
     warp_affine_batch,
+    warp_affine_twopass,
 )
 from .decode import (
     argmax_decode,
@@ -60,5 +61,6 @@ __all__ = [
     "transform_points",
     "transform_preds",
     "warp_affine_batch",
+    "warp_affine_twopass",
     "window_centroid_refine",
 ]

@@ -183,6 +183,76 @@ def warp_affine_separable(imgs: jnp.ndarray, mats: jnp.ndarray,
     return out
 
 
+def _lerp_taps_along(x: jnp.ndarray, src: jnp.ndarray, axis: int,
+                     size: int) -> jnp.ndarray:
+    """2-tap bilinear resample of ``x`` along ``axis`` at positions ``src``
+    (same shape as x minus channels), out-of-range taps contributing zero
+    (cv2 BORDER_CONSTANT).  Uses take_along_axis: a single-axis gather,
+    which XLA lowers far better on TPU than the joint 2-D gather."""
+    i0 = jnp.floor(src)
+    f = (src - i0)[..., None]
+    i0 = i0.astype(jnp.int32)
+
+    def tap(idx):
+        valid = (idx >= 0) & (idx < size)
+        idx_c = jnp.clip(idx, 0, size - 1)
+        vals = jnp.take_along_axis(x, idx_c[..., None], axis=axis)
+        return vals * valid[..., None].astype(x.dtype)
+
+    return tap(i0) * (1.0 - f) + tap(i0 + 1) * f
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def warp_affine_twopass(imgs: jnp.ndarray, mats: jnp.ndarray,
+                        out_w: int, out_h: int) -> jnp.ndarray:
+    """General batched affine warp (rotation included) as TWO single-axis
+    resample passes — the Catmull-Smith decomposition.
+
+    Bilinear weights are separable (w = wy * wx with independent validity
+    masks), so a full 2-D warp factors exactly into a vertical then a
+    horizontal 1-D resample whose sample positions are affine in the other
+    coordinate:
+
+        tmp[b, y, j] = lerp_y( imgs[b, :, j],  s*y + u*j + v )
+        out[b, y, x] = lerp_x( tmp[b, y, :],   ia*x + ib*y + itx )
+
+    with (for the dst->src inverse [[ia, ib, itx], [ic, id, ity]]):
+        u = ic/ia,  s = id - ib*ic/ia,  v = ity - u*itx.
+
+    Each pass is a 2-tap take_along_axis (single-axis gather) instead of
+    the 4-tap joint 2-D gather of warp_affine_batch — the rot!=0 fast path
+    this framework uses for on-device training augmentation.  Degenerate
+    only as |rotation| -> 90 deg (ia -> 0); training augmentation stays
+    well inside that (+-40 deg, ref configs).  Matches
+    cv2.warpAffine(INTER_LINEAR, BORDER_CONSTANT=0) like the reference's
+    host path (/root/reference/datasets/transforms.py:40-46).
+    """
+    B, H, W, C = imgs.shape
+    inv = invert_affine(mats)
+    ia, ib, itx = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
+    ic, id_, ity = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
+
+    u = ic / ia
+    s = id_ - ib * ic / ia
+    v = ity - u * itx
+
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    js = jnp.arange(W, dtype=jnp.float32)
+
+    # vertical pass at source width: rows (B, out_h, W)
+    src_y = (s[:, None, None] * ys[None, :, None]
+             + u[:, None, None] * js[None, None, :]
+             + v[:, None, None])
+    tmp = _lerp_taps_along(imgs, src_y, axis=1, size=H)
+
+    # horizontal pass: cols (B, out_h, out_w)
+    src_x = (ia[:, None, None] * xs[None, None, :]
+             + ib[:, None, None] * ys[None, :, None]
+             + itx[:, None, None])
+    return _lerp_taps_along(tmp, src_x, axis=2, size=W)
+
+
 def crop_and_normalize(
     imgs: jnp.ndarray,
     centers: jnp.ndarray,
@@ -204,9 +274,11 @@ def crop_and_normalize(
         crops = warp_affine_separable(imgs.astype(jnp.float32), mats,
                                       out_w, out_h)
     else:
+        # Rotated path: two single-axis resample passes (gathers along one
+        # axis) instead of the joint 2-D gather.
         mats = get_affine_matrix(centers, scales, output_size, rots)
-        crops = warp_affine_batch(imgs.astype(jnp.float32), mats,
-                                  out_w, out_h)
+        crops = warp_affine_twopass(imgs.astype(jnp.float32), mats,
+                                    out_w, out_h)
     mean_a = jnp.asarray(mean, jnp.float32) * 255.0
     std_a = jnp.asarray(std, jnp.float32) * 255.0
     return (crops - mean_a) / std_a
