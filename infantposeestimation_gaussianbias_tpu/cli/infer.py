@@ -31,12 +31,16 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--clinical-report", default=None,
                         help="write a clinical analysis figure (video mode)")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve in int8 (PTQ, calibrated on the first "
+                             "batch; hrnet backbones)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
     import cv2
 
-    infer = PoseInference(cfg, checkpoint=args.checkpoint)
+    infer = PoseInference(cfg, checkpoint=args.checkpoint,
+                          quantize=args.int8)
     schema = cfg.data.keypoint_schema
 
     if args.video or args.input.lower().endswith((".mp4", ".avi", ".mov")):

@@ -31,10 +31,17 @@ def detect_persons(image: np.ndarray) -> List[np.ndarray]:
 
 
 class PoseInference:
-    """Checkpoint-backed pose predictor."""
+    """Checkpoint-backed pose predictor.
+
+    ``quantize=True`` serves in int8 (ops/quant.py): the model is
+    PTQ-calibrated on the first predicted batch's crops (or pass
+    ``calibration_crops`` — normalized (N, H, W, 3) arrays — to calibrate
+    at construction), then every forward runs the int8 MXU path.
+    """
 
     def __init__(self, cfg: Config, checkpoint: Optional[str] = None,
-                 state=None):
+                 state=None, quantize: bool = False,
+                 calibration_crops: Optional[np.ndarray] = None):
         self.cfg = cfg
         self.schema = cfg.data.keypoint_schema
         model = build_model(cfg)
@@ -46,7 +53,41 @@ class PoseInference:
                 state, _ = mgr.restore(state,
                                        os.path.basename(checkpoint))
         self.state = state
+        self._apply_fn = state.apply_fn
+        self._variables = state.variables
+        self.quantize = quantize
+        if quantize:
+            # fail fast on unsupported architectures
+            build_model(cfg, quant=True)
+            if not cfg.model.backbone.startswith("hrnet") or \
+                    cfg.model.head_type not in ("fusion", "heatmap"):
+                raise ValueError("int8 serving supports hrnet backbones "
+                                 "with fusion/heatmap heads")
+            if calibration_crops is not None:
+                self._install_quant([jnp.asarray(calibration_crops)])
         self._jit_pipeline = jax.jit(self._pipeline)
+
+    # -- int8 serving -------------------------------------------------------
+
+    def _install_quant(self, calib_crops) -> None:
+        from .models import quantize_model
+
+        self._variables = quantize_model(self.cfg, self.state.variables,
+                                         calib_crops)
+        self._apply_fn = build_model(self.cfg, quant=True).apply
+        self._jit_pipeline = jax.jit(self._pipeline)
+        self._quant_installed = True
+
+    def _maybe_calibrate(self, frames, centers, scales) -> None:
+        if not self.quantize or getattr(self, "_quant_installed", False):
+            return
+        from .ops import affine
+
+        W, H = self.cfg.data.input_size
+        crops = jax.jit(lambda f, c, s: affine.crop_and_normalize(
+            f, c, s, (W, H), mean=self.cfg.data.pixel_mean,
+            std=self.cfg.data.pixel_std))(frames, centers, scales)
+        self._install_quant([crops])
 
     # -- fused device pipeline -------------------------------------------
 
@@ -61,7 +102,7 @@ class PoseInference:
             mean=cfg.data.pixel_mean, std=cfg.data.pixel_std)
         flip_idx = jnp.asarray(self.schema.flip_index())
         coords, scores = flip_inference(
-            self.state.apply_fn, self.state.variables, crops, flip_idx,
+            self._apply_fn, self._variables, crops, flip_idx,
             cfg.model.head_type, cfg.eval.decode,
             shift_heatmap=cfg.eval.shift_heatmap, flip=cfg.eval.flip_test)
         coords = coords * jnp.asarray([W / hm_w, H / hm_h], jnp.float32)
@@ -79,9 +120,11 @@ class PoseInference:
         bboxes = np.asarray(bboxes, np.float32)
         centers = (bboxes[:, :2] + bboxes[:, 2:]) / 2.0
         scales = (bboxes[:, 2:] - bboxes[:, :2]) * self.cfg.data.bbox_padding
-        coords, scores = self._jit_pipeline(
-            jnp.asarray(frames, jnp.float32), jnp.asarray(centers),
-            jnp.asarray(scales))
+        frames_j = jnp.asarray(frames, jnp.float32)
+        centers_j = jnp.asarray(centers)
+        scales_j = jnp.asarray(scales)
+        self._maybe_calibrate(frames_j, centers_j, scales_j)
+        coords, scores = self._jit_pipeline(frames_j, centers_j, scales_j)
         return np.asarray(coords), np.asarray(scores)
 
     def predict(self, image: np.ndarray, bbox: Optional[Sequence] = None

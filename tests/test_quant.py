@@ -211,3 +211,44 @@ def test_quant_requires_supported_architecture():
     model = build_model(cfg, quant=True)
     with pytest.raises(ValueError, match="hrnet"):
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 48, 3)), False)
+
+
+def test_pose_inference_int8_serving():
+    """PoseInference(quantize=True): first-batch self-calibration then the
+    int8 pipeline end to end (crop -> quant forward -> decode -> back-
+    project)."""
+    from infantposeestimation_gaussianbias_tpu.inference import PoseInference
+
+    cfg = Config()
+    cfg.model.backbone = "hrnet_w32"
+    cfg.model.head_type = "fusion"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.input_size = (48, 64)
+    cfg.data.heatmap_size = (12, 16)
+    cfg.eval.flip_test = False
+
+    infer = PoseInference(cfg, quantize=True)
+    rng = np.random.RandomState(0)
+    frames = rng.randint(0, 255, (2, 96, 96, 3)).astype(np.uint8)
+    bboxes = np.array([[10, 10, 80, 90], [5, 20, 70, 88]], np.float32)
+    kpts, scores = infer.predict_batch(frames, bboxes)
+    assert kpts.shape == (2, 17, 2) and scores.shape == (2, 17)
+    assert np.isfinite(kpts).all() and np.isfinite(scores).all()
+    # quant variables installed: float backbone gone from serving tree
+    assert "qparams" in infer._variables
+    assert "backbone" not in infer._variables["params"]
+    # second call reuses the installed pipeline
+    kpts2, _ = infer.predict_batch(frames, bboxes)
+    np.testing.assert_allclose(kpts, kpts2, rtol=1e-5, atol=1e-5)
+
+
+def test_pose_inference_int8_rejects_unsupported():
+    from infantposeestimation_gaussianbias_tpu.inference import PoseInference
+
+    cfg = Config()
+    cfg.model.backbone = "litehrnet"
+    cfg.model.head_type = "heatmap"
+    cfg.data.input_size = (48, 64)
+    cfg.data.heatmap_size = (12, 16)
+    with pytest.raises(ValueError):
+        PoseInference(cfg, quantize=True)
