@@ -255,3 +255,16 @@ def test_best_metric_survives_resume(setup, tmp_path):
     assert resumed_best == pytest.approx(0.8)
     best2, is_best = mgr.save(state, 1, {"AP": 0.5}, resumed_best)
     assert not is_best and best2 == pytest.approx(0.8)
+
+
+def test_multi_scale_training_example():
+    """One parameter tree trains across the reference's three scales
+    (examples/multi_scale_training.py; ref data/examples.py:435-472)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from examples.multi_scale_training import run
+
+    _, history = run(epochs=3, steps_per_scale=1, batch_size=2,
+                     verbose=False)
+    assert len({s for s, _ in history}) == 3
+    assert all(np.isfinite(l) for _, l in history)
