@@ -19,7 +19,9 @@ the method.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_BATCH (default 256), BENCH_CHAIN (default 16),
-BENCH_REPEATS (default 5).
+BENCH_REPEATS (default 5), BENCH_QUANT (default 1: int8 PTQ serving —
+the production path; AP-delta guard vs float is 0.0007 on the trained
+flagship, tools/pipeline_proof.py --quantize.  Set 0 for bf16.)
 """
 
 import json
@@ -124,10 +126,10 @@ def timed(fn, args, repeats: int) -> float:
 
 
 def main():
-    bs = int(os.environ.get("BENCH_BATCH", "512"))
+    bs = int(os.environ.get("BENCH_BATCH", "256"))
     chain = int(os.environ.get("BENCH_CHAIN", "16"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
-    quant = os.environ.get("BENCH_QUANT", "0") == "1"
+    quant = os.environ.get("BENCH_QUANT", "1") == "1"
 
     chained, args = build(bs, quant=quant)
     t1 = timed(chained(1), args, repeats)
@@ -144,6 +146,7 @@ def main():
         "batch_size": bs,
         "ms_per_batch": round(per_iter * 1e3, 3),
         "device": str(jax.devices()[0]),
+        "precision": "int8-ptq" if quant else "bf16",
     }
     print(json.dumps(result))
 
