@@ -82,8 +82,10 @@ class ModelConfig:
     norm: str = "batchnorm"
     # Parameter / activation dtype policy: "float32" or "bfloat16".
     compute_dtype: str = "bfloat16"
-    # Use the fused Pallas window-MSA kernel in HRFormer (TPU only).
-    use_pallas: bool = False
+    # Use the fused Pallas window-MSA kernel in HRFormer inference
+    # (TPU only; zero-relayout qkv layout — 1.50x model-level on
+    # hrformer_small, 1.64x on hrformer_base vs the XLA path, BENCH.md).
+    use_pallas: bool = True
     # Loss selection + the six fusion-loss term weights
     # (ref configs/config.py:63-72).
     use_target_weight: bool = True

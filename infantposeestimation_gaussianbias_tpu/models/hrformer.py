@@ -53,13 +53,15 @@ class WindowAttention(nn.Module):
             idx = jnp.asarray(msa.relative_position_index(self.window_size))
             bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
 
-        if self.use_pallas:
-            # head-major layout straight out of the projection — the fused
-            # kernel consumes it without relayout copies
-            from ..ops.pallas.window_msa import window_attention_pallas_hm
-            qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 3, 0, 1, 4)
-            out = window_attention_pallas_hm(qkv[0], qkv[1], qkv[2], bias)
-            out = out.transpose(1, 2, 0, 3).reshape(nW, N, C)
+        if self.use_pallas and not train:
+            # the fused kernel consumes the qkv Dense output and produces
+            # the proj Dense input directly — no transposes at the
+            # pallas_call boundary (the head-major variant's relayout
+            # copies were the round-1 model-level loss; BENCH.md records
+            # 1.50x/1.64x model-level wins for this layout).  Inference
+            # only: the kernel has no VJP, so training takes the XLA path.
+            from ..ops.pallas.window_msa import window_attention_pallas_qkv
+            out = window_attention_pallas_qkv(qkv, bias, h)
         else:
             qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
             out = msa.window_attention(qkv[0], qkv[1], qkv[2], bias)

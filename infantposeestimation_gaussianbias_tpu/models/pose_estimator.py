@@ -111,7 +111,10 @@ def build_model(cfg, quant: bool = False,
         simcc_split_ratio=cfg.model.simcc_split_ratio,
         norm=cfg.model.norm,
         dtype=dtype,
-        use_pallas=getattr(cfg.model, "use_pallas", False),
+        # Pallas kernels only exist for the TPU backend; CPU runs (tests,
+        # virtual-device meshes) silently take the XLA path.
+        use_pallas=(getattr(cfg.model, "use_pallas", False)
+                    and jax.default_backend() == "tpu"),
         quant=quant,
         calibrate=calibrate,
     )

@@ -97,3 +97,79 @@ def window_attention_pallas(
     out = window_attention_pallas_hm(qa, ka, va, bias,
                                      block_windows=block_windows)
     return jnp.swapaxes(out, 0, 1)
+
+
+def _attn_qkv_kernel(qkv_ref, bias_ref, out_ref, *, num_heads: int,
+                     scale: float):
+    # Blocks: qkv (GB, N, 3C); bias (H, N, N); out (GB, N, C).
+    C = out_ref.shape[-1]
+    hd = C // num_heads
+    for h in range(num_heads):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd].astype(
+            jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (GB, N, N)
+        s = s + bias_ref[h].astype(jnp.float32)[None]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (GB, N, hd)
+        out_ref[:, :, h * hd:(h + 1) * hd] = o.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_windows"))
+def window_attention_pallas_qkv(
+    qkv: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    num_heads: int,
+    block_windows: int = 32,
+) -> jnp.ndarray:
+    """Fused W-MSA directly on the qkv projection output — ZERO relayouts.
+
+    Takes the (nW, N, 3C) Dense output as-is (column layout
+    [q heads | k heads | v heads], head h = columns h*hd..(h+1)*hd of each
+    third) and returns (nW, N, C) ready for the proj Dense.  The head-major
+    variant above still forces XLA to materialize five transposed arrays at
+    the pallas_call boundary; round-2 model-level measurement showed those
+    copies cost more than the fusion saves (BENCH.md).  Here the kernel's
+    in/out layouts ARE the model's natural layouts, so the boundary is
+    copy-free; heads are a static loop inside the kernel and the lane-dim
+    slices stay in VMEM.
+
+    Args:
+      qkv: (nW, N, 3C) from the qkv Dense.
+      bias: (num_heads, N, N) relative position bias, or None.
+      num_heads: number of attention heads (C % num_heads == 0).
+    Returns:
+      (nW, N, C) attention output.
+    """
+    nW, N, C3 = qkv.shape
+    C = C3 // 3
+    H = num_heads
+    hd = C // H
+    if bias is None:
+        bias = jnp.zeros((H, N, N), jnp.float32)
+
+    GB = min(block_windows, max(nW, 1))
+    pad = (-nW) % GB
+    if pad:
+        qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+    nWp = nW + pad
+
+    out = pl.pallas_call(
+        functools.partial(_attn_qkv_kernel, num_heads=H, scale=hd**-0.5),
+        grid=(nWp // GB,),
+        in_specs=[
+            pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GB, N, C), lambda w: (w, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nWp, N, C), qkv.dtype),
+    )(qkv, bias)
+    return out[:nW]

@@ -38,6 +38,59 @@ def test_window_attention_pallas_no_bias(rng):
                                atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("nW,H,N,hd", [(70, 2, 49, 39), (12, 4, 49, 32),
+                                       (33, 1, 49, 32), (5, 8, 49, 16)])
+def test_window_attention_pallas_qkv_parity(nW, H, N, hd, rng):
+    """The zero-relayout kernel must match the XLA path fed from the same
+    flat (nW, N, 3C) qkv tensor."""
+    from infantposeestimation_gaussianbias_tpu.ops.pallas.window_msa import (
+        window_attention_pallas_qkv,
+    )
+
+    C = H * hd
+    qkv = jnp.asarray(rng.randn(nW, N, 3 * C).astype(np.float32))
+    bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32))
+
+    split = qkv.reshape(nW, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+    ref = msa.window_attention(split[0], split[1], split[2], bias)
+    ref = ref.transpose(0, 2, 1, 3).reshape(nW, N, C)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = window_attention_pallas_qkv(qkv, bias, H)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_nb = window_attention_pallas_qkv(qkv, None, H)
+    ref_nb = msa.window_attention(split[0], split[1], split[2], None)
+    ref_nb = ref_nb.transpose(0, 2, 1, 3).reshape(nW, N, C)
+    np.testing.assert_allclose(np.asarray(out_nb), np.asarray(ref_nb),
+                               atol=2e-3, rtol=1e-3)
+
+
+def test_window_attention_module_pallas_wiring(rng):
+    """WindowAttention(use_pallas=True) must match the XLA module path
+    (same params) — catches layout bugs in the model wiring, not just the
+    kernel contract."""
+    from infantposeestimation_gaussianbias_tpu.models.hrformer import (
+        WindowAttention,
+    )
+
+    x = jnp.asarray(rng.randn(12, 49, 64).astype(np.float32))
+    mod_x = WindowAttention(64, 7, 2, use_pallas=False)
+    mod_p = WindowAttention(64, 7, 2, use_pallas=True)
+    variables = mod_x.init(jax.random.PRNGKey(0), x)
+    ref = mod_x.apply(variables, x, False)
+    with pltpu.force_tpu_interpret_mode():
+        out = mod_p.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+    # training path must not enter the (VJP-less) kernel
+    out_train = mod_p.apply(variables, x, True)
+    np.testing.assert_allclose(np.asarray(out_train), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+
 def test_window_partition_roundtrip(rng):
     x = jnp.asarray(rng.randn(2, 17, 13, 8).astype(np.float32))
     wins, (Hp, Wp) = msa.window_partition(x, 7)
