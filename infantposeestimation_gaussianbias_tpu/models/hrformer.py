@@ -53,15 +53,23 @@ class WindowAttention(nn.Module):
             idx = jnp.asarray(msa.relative_position_index(self.window_size))
             bias = table[idx.reshape(-1)].reshape(N, N, h).transpose(2, 0, 1)
 
-        if self.use_pallas and not train:
+        if self.use_pallas and (bias is not None or not train):
             # the fused kernel consumes the qkv Dense output and produces
             # the proj Dense input directly — no transposes at the
             # pallas_call boundary (the head-major variant's relayout
             # copies were the round-1 model-level loss; BENCH.md records
-            # 1.50x/1.64x model-level wins for this layout).  Inference
-            # only: the kernel has no VJP, so training takes the XLA path.
-            from ..ops.pallas.window_msa import window_attention_pallas_qkv
-            out = window_attention_pallas_qkv(qkv, bias, h)
+            # 1.50x/1.64x model-level wins for this layout).  With RPE the
+            # custom-VJP variant (Pallas recompute-probs backward kernel)
+            # makes training fused too; the rare no-RPE config falls back
+            # to XLA for training.
+            from ..ops.pallas.window_msa import (
+                window_attention_pallas_qkv,
+                window_attention_pallas_qkv_vjp,
+            )
+            if bias is not None:
+                out = window_attention_pallas_qkv_vjp(qkv, bias, h)
+            else:
+                out = window_attention_pallas_qkv(qkv, None, h)
         else:
             qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
             out = msa.window_attention(qkv[0], qkv[1], qkv[2], bias)

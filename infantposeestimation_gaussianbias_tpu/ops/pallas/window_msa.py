@@ -173,3 +173,118 @@ def window_attention_pallas_qkv(
         out_shape=jax.ShapeDtypeStruct((nWp, N, C), qkv.dtype),
     )(qkv, bias)
     return out[:nW]
+
+
+def _attn_qkv_bwd_kernel(qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref,
+                         *, num_heads: int, scale: float):
+    # Blocks: qkv/dqkv (GB, N, 3C); bias/dbias (H, N, N); dout (GB, N, C).
+    # Attention probs are recomputed from qkv (49-token windows fit VMEM;
+    # cheaper than saving p to HBM — the flash-attention recipe at window
+    # scale).  dbias accumulates across sequential grid steps.
+    C = dout_ref.shape[-1]
+    hd = C // num_heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for h in range(num_heads):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd].astype(
+            jnp.float32)
+        do = dout_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+
+        s = scale * jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (GB, N, N)
+        s = s + bias_ref[h].astype(jnp.float32)[None]
+        p = jax.nn.softmax(s, axis=-1)
+
+        dv = jax.lax.dot_general(                     # p^T do
+            p, do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (GB, N, hd)
+        dp = jax.lax.dot_general(                     # do v^T
+            do, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (GB, N, N)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_ref[h] += jnp.sum(ds, axis=0).astype(dbias_ref.dtype)
+        dq = scale * jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (GB, N, hd)
+        dk = scale * jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (GB, N, hd)
+
+        dt = dqkv_ref.dtype
+        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dt)
+        dqkv_ref[:, :, C + h * hd:C + (h + 1) * hd] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd] = dv.astype(dt)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def window_attention_pallas_qkv_vjp(
+    qkv: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_heads: int,
+    block_windows: int = 32,
+) -> jnp.ndarray:
+    """Differentiable fused W-MSA on the flat qkv layout.
+
+    Same contract as window_attention_pallas_qkv but with a Pallas
+    backward kernel (recompute-probs, accumulated dbias), so HRFormer
+    TRAINING can use the fused path too.  bias is required (HRFormer
+    always trains with RPE)."""
+    return window_attention_pallas_qkv(qkv, bias, num_heads,
+                                       block_windows=block_windows)
+
+
+def _qkv_vjp_fwd(qkv, bias, num_heads, block_windows):
+    out = window_attention_pallas_qkv(qkv, bias, num_heads,
+                                      block_windows=block_windows)
+    return out, (qkv, bias)
+
+
+def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
+    qkv, bias = res
+    nW, N, C3 = qkv.shape
+    C = C3 // 3
+    H = num_heads
+    hd = C // H
+
+    GB = min(16, min(block_windows, max(nW, 1)))
+    pad = (-nW) % GB
+    if pad:
+        # zero-padded windows produce ds == 0 (dp == 0), so they pollute
+        # neither dbias nor dqkv
+        qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+        dout = jnp.pad(dout, ((0, pad), (0, 0), (0, 0)))
+    nWp = nW + pad
+
+    dqkv, dbias = pl.pallas_call(
+        functools.partial(_attn_qkv_bwd_kernel, num_heads=H,
+                          scale=hd**-0.5),
+        grid=(nWp // GB,),
+        in_specs=[
+            pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, N, C), lambda w: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nWp, N, C3), qkv.dtype),
+            jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        ],
+    )(qkv, bias, dout)
+    return dqkv[:nW], dbias.astype(bias.dtype)
+
+
+window_attention_pallas_qkv_vjp.defvjp(_qkv_vjp_fwd, _qkv_vjp_bwd)

@@ -15,7 +15,8 @@ and reports training MFU from the model FLOP estimate (fwd ~7.1
 GFLOP/crop; bwd ~2x fwd).
 
 Usage: python -m infantposeestimation_gaussianbias_tpu.tools.probe_train
-Env: PROBE_BATCH (default 128).
+Env: PROBE_BATCH (default 128); PROBE_ONLY (comma list of row substrings
+to run, e.g. "full step").
 """
 
 from __future__ import annotations
@@ -99,6 +100,11 @@ def chained_time_fn(fn, x0, k: int = 48, K0: int = 8, repeats: int = 5):
     return (tk - t1) / k
 
 
+def _wanted(name: str) -> bool:
+    only = os.environ.get("PROBE_ONLY", "")
+    return not only or any(s.strip() in name for s in only.split(","))
+
+
 def report(name, sec, B, flops_per_crop=None):
     mfu = ""
     if flops_per_crop:
@@ -140,12 +146,13 @@ def main():
     STEP = 3 * FWD
 
     # 1) target generation alone
-    sec = chained_time_fn(
-        lambda b: heatmap_ops.generate_targets(
-            b["keypoints"], b["visible"], tuple(cfg.data.heatmap_size),
-            tuple(cfg.data.input_size), cfg.data.sigma, "msra"),
-        batch)
-    report("targets (msra gaussians)", sec, B)
+    if _wanted("targets"):
+        sec = chained_time_fn(
+            lambda b: heatmap_ops.generate_targets(
+                b["keypoints"], b["visible"], tuple(cfg.data.heatmap_size),
+                tuple(cfg.data.input_size), cfg.data.sigma, "msra"),
+            batch)
+        report("targets (msra gaussians)", sec, B)
 
     # 2) forward only (train mode, mutable batch stats)
     def fwd(images):
@@ -155,8 +162,9 @@ def main():
             rngs={"dropout": jax.random.PRNGKey(0)})
         return out["heatmaps"]
 
-    report("forward (train mode)", chained_time_fn(fwd, batch["image"]),
-           B, FWD)
+    if _wanted("forward (train mode)"):
+        report("forward (train mode)",
+               chained_time_fn(fwd, batch["image"]), B, FWD)
 
     # eval-mode forward for reference
     def fwd_eval(images):
@@ -164,8 +172,9 @@ def main():
             {"params": state.params, "batch_stats": state.batch_stats},
             images, False)["heatmaps"]
 
-    report("forward (eval mode)", chained_time_fn(fwd_eval, batch["image"]),
-           B, FWD)
+    if _wanted("forward (eval mode)"):
+        report("forward (eval mode)",
+               chained_time_fn(fwd_eval, batch["image"]), B, FWD)
 
     # 3) forward + loss + backward (no optimizer)
     loss_fn = make_loss_fn(cfg, schema)
@@ -183,8 +192,9 @@ def main():
             return loss
         return jax.grad(compute)(state.params)
 
-    report("fwd+loss+bwd", chained_time_fn(fwd_loss_bwd, batch["image"]),
-           B, STEP)
+    if _wanted("fwd+loss+bwd"):
+        report("fwd+loss+bwd",
+               chained_time_fn(fwd_loss_bwd, batch["image"]), B, STEP)
 
     # 4) full fused step
     train_step = make_train_step(cfg, schema)
@@ -194,29 +204,45 @@ def main():
                                                     i))
         return s2
 
-    report("full step (tg+jitter+fwd+loss+bwd+adamw)",
-           chained_time_state(full, state, batch), B, STEP)
+    if _wanted("full step"):
+        report("full step (tg+jitter+fwd+loss+bwd+adamw)",
+               chained_time_state(full, state, batch), B, STEP)
 
-    # 5) full step, remat backbone
-    import flax.linen as nn
-    model_remat = build_model(cfg)
-    # jax.checkpoint over the whole apply: cheap proxy for backbone remat
-    state_r = state.replace(
-        apply_fn=jax.checkpoint(model_remat.apply,
-                                static_argnums=(2,),
-                                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable))
+    # 5) decomposition: model-bwd vs loss-bwd.
+    # (a) same model, MSE-only loss on the heatmap branch — isolates the
+    #     model backward (loss bwd of plain MSE is ~free)
+    from ..losses import keypoint_mse_loss
 
-    def full_r(s, b, i):
-        s2, _ = train_step(s, b, jax.random.fold_in(jax.random.PRNGKey(1),
-                                                    i))
-        return s2
+    def fwd_mse_bwd(images):
+        def compute(params):
+            out, _ = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)})
+            return keypoint_mse_loss(out["heatmaps"], target, weight, True)
+        return jax.grad(compute)(state.params)
 
-    try:
-        report("full step + remat(apply)",
-               chained_time_state(
-                   full_r, state_r, batch), B, STEP)
-    except Exception as e:  # remat of mutable apply may be unsupported
-        print(f"remat variant failed: {type(e).__name__}: {e}", flush=True)
+    if _wanted("MSE-only"):
+        report("fwd+MSE-only+bwd (model bwd isolated)",
+               chained_time_fn(fwd_mse_bwd, batch["image"]), B, STEP)
+
+    # (b) loss fwd+bwd alone wrt the head OUTPUTS (no model) — isolates
+    #     the 6-term fusion loss's own backward
+    out0, _ = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["image"], True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(0)})
+    out0 = {k: v for k, v in out0.items()}
+
+    def loss_only_bwd(outs):
+        def compute(o):
+            loss, _ = loss_fn(o, batch, target, weight)
+            return loss
+        return jax.grad(compute)(outs)
+
+    if _wanted("loss alone"):
+        report("fusion loss fwd+bwd alone (wrt outputs)",
+               chained_time_fn(loss_only_bwd, out0), B)
 
 
 if __name__ == "__main__":

@@ -68,6 +68,37 @@ def test_window_attention_pallas_qkv_parity(nW, H, N, hd, rng):
                                atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("nW,H,N,hd", [(12, 2, 49, 32), (33, 1, 49, 16)])
+def test_window_attention_pallas_qkv_grad_parity(nW, H, N, hd, rng):
+    """custom-VJP (Pallas backward kernel) grads must match autodiff
+    through the XLA path: d/d qkv and d/d bias."""
+    from infantposeestimation_gaussianbias_tpu.ops.pallas.window_msa import (
+        window_attention_pallas_qkv_vjp,
+    )
+
+    C = H * hd
+    qkv = jnp.asarray(rng.randn(nW, N, 3 * C).astype(np.float32))
+    bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32))
+    cot = jnp.asarray(rng.randn(nW, N, C).astype(np.float32))
+
+    def ref_fn(qkv, bias):
+        split = qkv.reshape(nW, N, 3, H, hd).transpose(2, 0, 3, 1, 4)
+        out = msa.window_attention(split[0], split[1], split[2], bias)
+        return jnp.sum(out.transpose(0, 2, 1, 3).reshape(nW, N, C) * cot)
+
+    def pallas_fn(qkv, bias):
+        out = window_attention_pallas_qkv_vjp(qkv, bias, H)
+        return jnp.sum(out * cot)
+
+    ref_dqkv, ref_dbias = jax.grad(ref_fn, argnums=(0, 1))(qkv, bias)
+    with pltpu.force_tpu_interpret_mode():
+        dqkv, dbias = jax.grad(pallas_fn, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(dqkv), np.asarray(ref_dqkv),
+                               atol=5e-3, rtol=5e-3)
+    np.testing.assert_allclose(np.asarray(dbias), np.asarray(ref_dbias),
+                               atol=5e-3, rtol=5e-3)
+
+
 def test_window_attention_module_pallas_wiring(rng):
     """WindowAttention(use_pallas=True) must match the XLA module path
     (same params) — catches layout bugs in the model wiring, not just the
@@ -85,10 +116,18 @@ def test_window_attention_module_pallas_wiring(rng):
         out = mod_p.apply(variables, x, False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-3, rtol=1e-3)
-    # training path must not enter the (VJP-less) kernel
-    out_train = mod_p.apply(variables, x, True)
+    # training path goes through the custom-VJP kernel (RPE present)
+    with pltpu.force_tpu_interpret_mode():
+        out_train = mod_p.apply(variables, x, True)
     np.testing.assert_allclose(np.asarray(out_train), np.asarray(ref),
                                atol=2e-3, rtol=1e-3)
+    # no-RPE training falls back to XLA (kernel-free) — must run on CPU
+    mod_nr_x = WindowAttention(64, 7, 2, with_rpe=False, use_pallas=False)
+    mod_nr_p = WindowAttention(64, 7, 2, with_rpe=False, use_pallas=True)
+    v_nr = mod_nr_x.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(
+        np.asarray(mod_nr_p.apply(v_nr, x, True)),
+        np.asarray(mod_nr_x.apply(v_nr, x, True)), atol=2e-3, rtol=1e-3)
 
 
 def test_window_partition_roundtrip(rng):
