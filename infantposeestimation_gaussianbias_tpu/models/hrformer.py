@@ -21,7 +21,14 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import msa
-from .layers import Bottleneck, ConvNorm, DropPath, resize_bilinear
+from .layers import (
+    Bottleneck,
+    ConvNorm,
+    DropPath,
+    QDense,
+    resize_bilinear,
+    sow_absmax,
+)
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
@@ -35,6 +42,8 @@ class WindowAttention(nn.Module):
     with_rpe: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -42,8 +51,13 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         hd = C // h
 
-        qkv = nn.Dense(3 * C, use_bias=True, kernel_init=trunc_init,
-                       dtype=self.dtype, name="qkv")(x)
+        if self.calibrate:
+            sow_absmax(self, "qkv_in_absmax", x)
+        if self.quant:
+            qkv = QDense(3 * C, name="qkv")(x).astype(self.dtype)
+        else:
+            qkv = nn.Dense(3 * C, use_bias=True, kernel_init=trunc_init,
+                           dtype=self.dtype, name="qkv")(x)
 
         bias = None
         if self.with_rpe:
@@ -74,6 +88,10 @@ class WindowAttention(nn.Module):
             qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
             out = msa.window_attention(qkv[0], qkv[1], qkv[2], bias)
             out = out.transpose(0, 2, 1, 3).reshape(nW, N, C)
+        if self.calibrate:
+            sow_absmax(self, "proj_in_absmax", out)
+        if self.quant:
+            return QDense(C, name="proj")(out).astype(self.dtype)
         return nn.Dense(C, kernel_init=trunc_init, dtype=self.dtype,
                         name="proj")(out)
 
@@ -84,12 +102,23 @@ class Mlp(nn.Module):
     hidden: int
     out: int
     dtype: Any = jnp.float32
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden, kernel_init=trunc_init, dtype=self.dtype,
-                     name="fc1")(x)
+        if self.calibrate:
+            sow_absmax(self, "fc1_in_absmax", x)
+        if self.quant:
+            x = QDense(self.hidden, name="fc1")(x).astype(self.dtype)
+        else:
+            x = nn.Dense(self.hidden, kernel_init=trunc_init,
+                         dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
+        if self.calibrate:
+            sow_absmax(self, "fc2_in_absmax", x)
+        if self.quant:
+            return QDense(self.out, name="fc2")(x).astype(self.dtype)
         return nn.Dense(self.out, kernel_init=trunc_init, dtype=self.dtype,
                         name="fc2")(x)
 
@@ -106,6 +135,8 @@ class HRFormerBlock(nn.Module):
     with_rpe: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -116,13 +147,15 @@ class HRFormerBlock(nn.Module):
         wins = WindowAttention(self.dim, self.window_size, self.num_heads,
                                self.with_rpe, dtype=self.dtype,
                                use_pallas=self.use_pallas,
+                               quant=self.quant, calibrate=self.calibrate,
                                name="attn")(wins, train)
         wins = wins.reshape(-1, self.window_size, self.window_size, C)
         y = msa.window_reverse(wins, self.window_size, H, W, Hp, Wp)
         x = shortcut + DropPath(self.drop_path, name="dp1")(y, train)
 
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
-        y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp")(y)
+        y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype,
+                quant=self.quant, calibrate=self.calibrate, name="mlp")(y)
         return x + DropPath(self.drop_path, name="dp2")(y, train)
 
 
@@ -139,6 +172,8 @@ class HRFormerModule(nn.Module):
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool = False
@@ -151,6 +186,7 @@ class HRFormerModule(nn.Module):
                     self.num_channels[i], self.num_heads[i],
                     self.window_size, self.mlp_ratio, self.drop_path,
                     dtype=self.dtype, use_pallas=self.use_pallas,
+                    quant=self.quant, calibrate=self.calibrate,
                     name=f"branch{i}_block{b}")(x, train)
             ys.append(x)
         if n == 1:
@@ -195,6 +231,11 @@ class HRFormer(nn.Module):
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # int8 PTQ: quantizes the transformer Dense layers (qkv/proj/fc1/fc2 —
+    # where the FLOPs are); the conv stem/transitions/fuses and all norms
+    # stay in the compute dtype, so no QTensor plumbing between modules.
+    quant: bool = False
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -230,19 +271,22 @@ class HRFormer(nn.Module):
                     channels, heads, self.num_blocks, self.window_size,
                     self.mlp_ratio, self.drop_path_rate, norm=self.norm,
                     dtype=self.dtype, use_pallas=self.use_pallas,
+                    quant=self.quant, calibrate=self.calibrate,
                     name=f"stage{s + 2}_module{m}")(xs, train)
         return xs[0]
 
 
 def hrformer_base(norm: str = "batchnorm", dtype: Any = jnp.float32,
-                  use_pallas: bool = False) -> HRFormer:
+                  use_pallas: bool = False, quant: bool = False,
+                  calibrate: bool = False) -> HRFormer:
     return HRFormer(channels=(78, 156, 312, 624), num_heads=(2, 4, 8, 16),
                     drop_path_rate=0.2, norm=norm, dtype=dtype,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, quant=quant, calibrate=calibrate)
 
 
 def hrformer_small(norm: str = "batchnorm", dtype: Any = jnp.float32,
-                   use_pallas: bool = False) -> HRFormer:
+                   use_pallas: bool = False, quant: bool = False,
+                   calibrate: bool = False) -> HRFormer:
     return HRFormer(channels=(32, 64, 128, 256), num_heads=(1, 2, 4, 8),
                     drop_path_rate=0.1, norm=norm, dtype=dtype,
-                    use_pallas=use_pallas)
+                    use_pallas=use_pallas, quant=quant, calibrate=calibrate)

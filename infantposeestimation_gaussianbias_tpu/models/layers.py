@@ -89,6 +89,21 @@ class ConvNorm(nn.Module):
         return y
 
 
+class QDense(nn.Module):
+    """int8 serving twin of nn.Dense: reads the qparams emitted by
+    ops.quant.convert_dense at this module's path (same name as the float
+    Dense it replaces, so the trees line up) and runs the int8 matmul +
+    f32 epilogue.  Input is float; output f32."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        q = {k: self.variable("qparams", k).value
+             for k in ("w_int8", "w_scale", "bias", "in_scale")}
+        return quant_ops.qdense(x, q)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with f32 statistics and compute-dtype inference affine.
 

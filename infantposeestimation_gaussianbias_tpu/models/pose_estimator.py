@@ -53,15 +53,23 @@ class PoseEstimator(nn.Module):
         kwargs = dict(norm=self.norm, dtype=self.dtype)
         if self.backbone_name.startswith("hrformer"):
             kwargs["use_pallas"] = self.use_pallas
-        if self.quant or self.calibrate:
-            if not self.backbone_name.startswith("hrnet"):
-                raise ValueError(
-                    f"int8 PTQ supports the hrnet backbones, not "
-                    f"{self.backbone_name!r}")
-            if self.head_type not in ("fusion", "heatmap"):
-                raise ValueError(
-                    f"int8 PTQ supports fusion/heatmap heads, not "
-                    f"{self.head_type!r}")
+        # int8 PTQ: hrnet quantizes the whole conv pipeline (QTensor
+        # activations, BN folded into epilogues) including the head;
+        # hrformer quantizes its transformer Dense layers (the FLOPs)
+        # while convs/norms/head stay in the compute dtype.
+        quant_conv = ((self.quant or self.calibrate)
+                      and self.backbone_name.startswith("hrnet"))
+        quant_dense = ((self.quant or self.calibrate)
+                       and self.backbone_name.startswith("hrformer"))
+        if (self.quant or self.calibrate) and not (quant_conv or quant_dense):
+            raise ValueError(
+                f"int8 PTQ supports the hrnet/hrformer backbones, not "
+                f"{self.backbone_name!r}")
+        if quant_conv and self.head_type not in ("fusion", "heatmap"):
+            raise ValueError(
+                f"int8 PTQ supports fusion/heatmap heads, not "
+                f"{self.head_type!r}")
+        if quant_conv or quant_dense:
             kwargs.update(quant=self.quant, calibrate=self.calibrate)
         if self.backbone_name not in BACKBONES:
             raise ValueError(f"Unknown backbone {self.backbone_name!r}; "
@@ -69,7 +77,7 @@ class PoseEstimator(nn.Module):
         self.backbone = BACKBONES[self.backbone_name](**kwargs)
 
         head_q = (dict(quant=self.quant, calibrate=self.calibrate)
-                  if (self.quant or self.calibrate) else {})
+                  if quant_conv else {})
         if self.head_type == "fusion":
             self.head = FusionHead(self.num_keypoints, self.hidden_dim,
                                    norm=self.norm, dtype=self.dtype,

@@ -106,6 +106,43 @@ def qconv_affine(x: QTensor, q: Dict[str, jnp.ndarray], strides=(1, 1),
             + q["eff_bias"])
 
 
+def qdense(x: jnp.ndarray, q: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Quantized Dense on a float input: per-tensor int8 input quantization
+    (calibrated static scale) -> int8 x int8 -> int32 matmul on the MXU ->
+    f32 dequant + bias epilogue.
+
+    Unlike the conv path (which chains int8 activations through whole
+    blocks), transformer Dense layers sit between float LayerNorms, so
+    each qdense quantizes its own input and returns f32.  ``q`` holds
+    w_int8 (I, O), w_scale (O,), bias (O,), in_scale ().
+    """
+    inv = 1.0 / q["in_scale"]
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -INT8_MAX,
+                  INT8_MAX).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q["w_int8"], (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (acc.astype(jnp.float32) * (q["in_scale"] * q["w_scale"])
+            + q["bias"])
+
+
+def convert_dense(params: Dict, in_absmax: jnp.ndarray
+                  ) -> Dict[str, jnp.ndarray]:
+    """One Dense {kernel (I,O), bias} + its calibrated input abs-max
+    -> the qparams qdense consumes."""
+    qw = quantize_weight(params["kernel"])
+    bias = params.get("bias")
+    if bias is None:
+        bias = jnp.zeros((params["kernel"].shape[-1],), jnp.float32)
+    return {
+        "w_int8": qw["w_int8"],
+        "w_scale": qw["w_scale"],
+        "bias": jnp.asarray(bias, jnp.float32),
+        "in_scale": (jnp.maximum(jnp.asarray(in_absmax, jnp.float32), 1e-12)
+                     / INT8_MAX),
+    }
+
+
 def requantize(y: jnp.ndarray, out_scale: jnp.ndarray) -> QTensor:
     """f32 -> int8 with a calibrated static scale (scalar reciprocal is
     hoisted so the per-element op is a multiply, not a divide)."""
@@ -169,7 +206,15 @@ def convert_tree(params: Dict, batch_stats: Optional[Dict],
     for key, node in params.items():
         stats_node = (batch_stats or {}).get(key)
         calib_node = (calib or {}).get(key)
-        if _is_convnorm(node):
+        # Dense layer whose input range was calibrated by its parent
+        # module (transformer qkv/proj/fc1/fc2 — see hrformer.py):
+        # the sow point lives beside the Dense node as <name>_in_absmax.
+        dense_absmax = _calib_value((calib or {}).get(f"{key}_in_absmax"))
+        if (dense_absmax is not None and isinstance(node, dict)
+                and "kernel" in node
+                and getattr(node["kernel"], "ndim", 0) == 2):
+            out[key] = convert_dense(node, dense_absmax)
+        elif _is_convnorm(node):
             absmax = None
             if isinstance(calib_node, dict):
                 absmax = _calib_value(calib_node.get("out_absmax"))
@@ -181,8 +226,8 @@ def convert_tree(params: Dict, batch_stats: Optional[Dict],
                 out[key] = sub
     # module-level calibration points with no params twin (requant scales)
     for key, node in (calib or {}).items():
-        if key in out:
-            continue
+        if key in out or key.endswith("_in_absmax"):
+            continue  # _in_absmax entries were folded into their Dense
         val = _calib_value(node if not isinstance(node, dict) else None)
         if val is None and isinstance(node, dict):
             continue

@@ -213,6 +213,80 @@ def test_quant_requires_supported_architecture():
         model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 48, 3)), False)
 
 
+def test_qdense_matches_float_dense():
+    """qdense: int8 matmul + f32 epilogue vs float Dense on the same
+    weights (input quantized with its exact range)."""
+    rng = np.random.RandomState(5)
+    x = rng.randn(6, 49, 32).astype(np.float32)
+    kernel = rng.randn(32, 96).astype(np.float32)
+    bias = rng.randn(96).astype(np.float32)
+
+    ref = x @ kernel + bias
+    q = Q.convert_dense({"kernel": jnp.asarray(kernel),
+                         "bias": jnp.asarray(bias)},
+                        np.abs(x).max())
+    out = np.asarray(Q.qdense(jnp.asarray(x), q))
+    denom = np.abs(ref).max()
+    assert np.abs(out - ref).max() / denom < 0.05
+    cos = (ref * out).sum() / np.sqrt((ref ** 2).sum() * (out ** 2).sum())
+    assert cos > 0.995
+
+
+def test_hrformer_dense_ptq_model_agreement():
+    """hrformer_small Dense-PTQ: calibrate -> convert -> int8 serve; the
+    quantized forward must track the float forward closely, the quantized
+    Dense float weights must be stripped, and the qparams tree must hold
+    ONLY qdense nodes."""
+    cfg = Config()
+    cfg.model.backbone = "hrformer_small"
+    cfg.model.head_type = "heatmap"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.input_size = (64, 64)
+    cfg.data.heatmap_size = (16, 16)
+
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x, False)
+    float_out = model.apply(variables, x, False)
+
+    qvars = quantize_model(cfg, variables, [x])
+    qmodel = build_model(cfg, quant=True)
+    q_out = qmodel.apply(qvars, x, False)
+
+    a = np.asarray(float_out["heatmaps"]).ravel()
+    b = np.asarray(q_out["heatmaps"]).ravel()
+    cos = (a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum() + 1e-12)
+    assert cos > 0.99, f"cos={cos}"
+
+    # every qparams leaf node is a qdense pack (conv qparams pruned)
+    def check(node):
+        if isinstance(node, dict):
+            if "w_int8" in node:
+                assert set(node) == {"w_int8", "w_scale", "bias",
+                                     "in_scale"}
+                assert node["w_int8"].dtype == jnp.int8
+                assert node["w_int8"].ndim == 2
+            else:
+                for v in node.values():
+                    check(v)
+    check(qvars["qparams"])
+
+    # the float twin of each quantized Dense is stripped, the rest kept
+    blk = qvars["params"]["backbone"]["stage2_module0"]["branch0_block0"]
+    assert "qkv" not in blk["attn"] and "rpe_table" in blk["attn"]
+    # mlp is fc1+fc2 only -> fully quantized -> whole node stripped
+    assert "fc1" not in blk.get("mlp", {})
+    assert "norm1" in blk and "head" in qvars["params"]
+    assert "batch_stats" in qvars  # float conv trunk still runs BN
+
+    # 4 Dense layers per transformer block: small = 4+24+16 blocks = 44
+    n_dense = sum(1 for p, l in
+                  jax.tree_util.tree_leaves_with_path(qvars["qparams"])
+                  if p[-1].key == "in_scale")
+    assert n_dense == 4 * 44
+
+
 def test_pose_inference_int8_serving():
     """PoseInference(quantize=True): first-batch self-calibration then the
     int8 pipeline end to end (crop -> quant forward -> decode -> back-
