@@ -32,6 +32,12 @@ from .layers import (
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
+# Dense-PTQ width gate: int8 only pays off when the contraction dim fills
+# the MXU; narrow layers (C=32/64 high-res branches) lose to the extra
+# activation-quantization pass (BENCH.md round-2 measurement), so they
+# stay in the compute dtype.
+QUANT_MIN_FEATURES = 128
+
 
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias over (nW, N, C) windows."""
@@ -51,9 +57,10 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         hd = C // h
 
-        if self.calibrate:
+        wide = C >= QUANT_MIN_FEATURES
+        if self.calibrate and wide:
             sow_absmax(self, "qkv_in_absmax", x)
-        if self.quant:
+        if self.quant and wide:
             qkv = QDense(3 * C, name="qkv")(x).astype(self.dtype)
         else:
             qkv = nn.Dense(3 * C, use_bias=True, kernel_init=trunc_init,
@@ -88,9 +95,9 @@ class WindowAttention(nn.Module):
             qkv = qkv.reshape(nW, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
             out = msa.window_attention(qkv[0], qkv[1], qkv[2], bias)
             out = out.transpose(0, 2, 1, 3).reshape(nW, N, C)
-        if self.calibrate:
+        if self.calibrate and wide:
             sow_absmax(self, "proj_in_absmax", out)
-        if self.quant:
+        if self.quant and wide:
             return QDense(C, name="proj")(out).astype(self.dtype)
         return nn.Dense(C, kernel_init=trunc_init, dtype=self.dtype,
                         name="proj")(out)
@@ -107,17 +114,19 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.calibrate:
+        wide1 = x.shape[-1] >= QUANT_MIN_FEATURES
+        wide2 = self.hidden >= QUANT_MIN_FEATURES
+        if self.calibrate and wide1:
             sow_absmax(self, "fc1_in_absmax", x)
-        if self.quant:
+        if self.quant and wide1:
             x = QDense(self.hidden, name="fc1")(x).astype(self.dtype)
         else:
             x = nn.Dense(self.hidden, kernel_init=trunc_init,
                          dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        if self.calibrate:
+        if self.calibrate and wide2:
             sow_absmax(self, "fc2_in_absmax", x)
-        if self.quant:
+        if self.quant and wide2:
             return QDense(self.out, name="fc2")(x).astype(self.dtype)
         return nn.Dense(self.out, kernel_init=trunc_init, dtype=self.dtype,
                         name="fc2")(x)

@@ -99,6 +99,20 @@ def window_attention_pallas(
     return jnp.swapaxes(out, 0, 1)
 
 
+def _auto_block(block_windows: int, nW: int, N: int, row_channels: int,
+                budget_bytes: int = 5 * 2**20) -> int:
+    """Window-block size bounded by a VMEM budget.
+
+    Mosaic double-buffers every streamed block, so (in + out) bytes per
+    block must stay well under the ~16MB scoped VMEM; row_channels is the
+    total channel count moved per window row (e.g. 3C in + C out = 4C for
+    the forward kernel).  At hrformer_base stage-4 (C=624) the fixed
+    GB=32 block hit the limit."""
+    bytes_per_window = N * row_channels * 2  # bf16
+    gb = max(4, min(block_windows, budget_bytes // max(bytes_per_window, 1)))
+    return min(gb, max(nW, 1))
+
+
 def _attn_qkv_kernel(qkv_ref, bias_ref, out_ref, *, num_heads: int,
                      scale: float):
     # Blocks: qkv (GB, N, 3C); bias (H, N, N); out (GB, N, C).
@@ -153,7 +167,7 @@ def window_attention_pallas_qkv(
     if bias is None:
         bias = jnp.zeros((H, N, N), jnp.float32)
 
-    GB = min(block_windows, max(nW, 1))
+    GB = _auto_block(block_windows, nW, N, 4 * C)
     pad = (-nW) % GB
     if pad:
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
@@ -252,7 +266,7 @@ def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
     H = num_heads
     hd = C // H
 
-    GB = min(16, min(block_windows, max(nW, 1)))
+    GB = _auto_block(min(16, block_windows), nW, N, 7 * C)
     pad = (-nW) % GB
     if pad:
         # zero-padded windows produce ds == 0 (dp == 0), so they pollute

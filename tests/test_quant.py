@@ -272,19 +272,25 @@ def test_hrformer_dense_ptq_model_agreement():
                     check(v)
     check(qvars["qparams"])
 
-    # the float twin of each quantized Dense is stripped, the rest kept
-    blk = qvars["params"]["backbone"]["stage2_module0"]["branch0_block0"]
-    assert "qkv" not in blk["attn"] and "rpe_table" in blk["attn"]
-    # mlp is fc1+fc2 only -> fully quantized -> whole node stripped
-    assert "fc1" not in blk.get("mlp", {})
-    assert "norm1" in blk and "head" in qvars["params"]
+    # the float twin of each quantized Dense is stripped, the rest kept.
+    # Width gate (QUANT_MIN_FEATURES=128): the C=128 branch quantizes all
+    # four Dense layers; the C=32 branch only fc2 (in=4C=128).
+    wide = qvars["params"]["backbone"]["stage3_module0"]["branch2_block0"]
+    assert "qkv" not in wide["attn"] and "rpe_table" in wide["attn"]
+    assert "fc1" not in wide.get("mlp", {})
+    narrow = qvars["params"]["backbone"]["stage2_module0"]["branch0_block0"]
+    assert "qkv" in narrow["attn"]          # C=32: stays float
+    assert "fc1" in narrow["mlp"] and "fc2" not in narrow["mlp"]
+    assert "norm1" in wide and "head" in qvars["params"]
     assert "batch_stats" in qvars  # float conv trunk still runs BN
 
-    # 4 Dense layers per transformer block: small = 4+24+16 blocks = 44
+    # per-C quantized-Dense counts for hrformer_small (blocks by channel:
+    # C=32/64 -> 14 each, C=128 -> 12, C=256 -> 4):
+    # C=32/64: fc2 only (1); C=128/256: all 4
     n_dense = sum(1 for p, l in
                   jax.tree_util.tree_leaves_with_path(qvars["qparams"])
                   if p[-1].key == "in_scale")
-    assert n_dense == 4 * 44
+    assert n_dense == 14 * 1 + 14 * 1 + 12 * 4 + 4 * 4
 
 
 def test_pose_inference_int8_serving():
