@@ -21,7 +21,9 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_BATCH (default 256), BENCH_CHAIN (default 16),
 BENCH_REPEATS (default 5), BENCH_QUANT (default 1: int8 PTQ serving —
 the production path; AP-delta guard vs float is 0.0007 on the trained
-flagship, tools/pipeline_proof.py --quantize.  Set 0 for bf16.)
+flagship, tools/pipeline_proof.py --quantize.  Set 0 for bf16, which
+serves with BN folded into the conv weights — models/fold.py, exact —
+unless BENCH_FOLD=0.)
 """
 
 import json
@@ -40,11 +42,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_IMG_PER_S = 45.0  # RTX 3090 HRNet-W32 (~22 ms/img)
 
 
-def build(batch_size: int, quant: bool = False):
+def build(batch_size: int, quant: bool = False, fold: bool = False):
     from infantposeestimation_gaussianbias_tpu.config import Config
     from infantposeestimation_gaussianbias_tpu.models import (
         build_model,
         decode_outputs,
+        fold_variables,
         quantize_model,
     )
     from infantposeestimation_gaussianbias_tpu.ops import affine, decode
@@ -76,6 +79,10 @@ def build(batch_size: int, quant: bool = False):
         crops = affine.crop_and_normalize(calib_frames, cc, cs, (W, H))
         variables = quantize_model(cfg, variables, [crops])
         model = build_model(cfg, quant=True)
+    elif fold:
+        # bf16 serving with inference BN baked into conv weights (exact).
+        variables = fold_variables(variables)
+        model = build_model(cfg, fold=True)
 
     def one_crop_pass(variables, frames, centers, scales):
         crops = affine.crop_and_normalize(frames, centers, scales, (W, H))
@@ -130,8 +137,9 @@ def main():
     chain = int(os.environ.get("BENCH_CHAIN", "16"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     quant = os.environ.get("BENCH_QUANT", "1") == "1"
+    fold = os.environ.get("BENCH_FOLD", "1") == "1" and not quant
 
-    chained, args = build(bs, quant=quant)
+    chained, args = build(bs, quant=quant, fold=fold)
     t1 = timed(chained(1), args, repeats)
     tk = timed(chained(chain), args, repeats)
     per_iter = (tk - t1) / (chain - 1)
@@ -146,7 +154,8 @@ def main():
         "batch_size": bs,
         "ms_per_batch": round(per_iter * 1e3, 3),
         "device": str(jax.devices()[0]),
-        "precision": "int8-ptq" if quant else "bf16",
+        "precision": ("int8-ptq" if quant
+                      else "bf16-bnfold" if fold else "bf16"),
     }
     print(json.dumps(result))
 

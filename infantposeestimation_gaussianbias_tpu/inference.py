@@ -37,11 +37,16 @@ class PoseInference:
     PTQ-calibrated on the first predicted batch's crops (or pass
     ``calibration_crops`` — normalized (N, H, W, 3) arrays — to calibrate
     at construction), then every forward runs the int8 MXU path.
+
+    Float serving uses BN-fold by default when the architecture supports
+    it (models/fold.py — exact transform, removes the stand-alone BN ops
+    whose layout overhead dominates the stem); ``fold=False`` disables.
     """
 
     def __init__(self, cfg: Config, checkpoint: Optional[str] = None,
                  state=None, quantize: bool = False,
-                 calibration_crops: Optional[np.ndarray] = None):
+                 calibration_crops: Optional[np.ndarray] = None,
+                 fold: Optional[bool] = None):
         self.cfg = cfg
         self.schema = cfg.data.keypoint_schema
         model = build_model(cfg)
@@ -59,12 +64,24 @@ class PoseInference:
         if quantize:
             # fail fast on unsupported architectures
             build_model(cfg, quant=True)
-            if not cfg.model.backbone.startswith("hrnet") or \
-                    cfg.model.head_type not in ("fusion", "heatmap"):
+            if not cfg.model.backbone.startswith(("hrnet", "hrformer")) or \
+                    (cfg.model.backbone.startswith("hrnet") and
+                     cfg.model.head_type not in ("fusion", "heatmap")):
                 raise ValueError("int8 serving supports hrnet backbones "
-                                 "with fusion/heatmap heads")
+                                 "with fusion/heatmap heads, or hrformer")
             if calibration_crops is not None:
                 self._install_quant([jnp.asarray(calibration_crops)])
+        else:
+            fold_ok = (cfg.model.backbone.startswith(("hrnet", "hrformer"))
+                       and cfg.model.head_type in ("fusion", "heatmap")
+                       and cfg.model.norm == "batchnorm")
+            if fold is None:
+                fold = fold_ok
+            if fold:
+                from .models import fold_variables
+
+                self._variables = fold_variables(state.variables)
+                self._apply_fn = build_model(cfg, fold=True).apply
         self._jit_pipeline = jax.jit(self._pipeline)
 
     # -- int8 serving -------------------------------------------------------

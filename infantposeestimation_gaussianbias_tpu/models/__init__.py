@@ -4,6 +4,7 @@ from .heads import FusedHead, FusionHead, HeatmapHead, SimCCHead
 from .hrformer import HRFormer, hrformer_base, hrformer_small
 from .hrnet import HRNet, hrnet_w32, hrnet_w48
 from .litehrnet import LiteHRNet, litehrnet
+from .fold import fold_variables
 from .quantize import quantize_model
 from .pose_estimator import (
     BACKBONES,
@@ -33,5 +34,6 @@ __all__ = [
     "hrnet_w32",
     "hrnet_w48",
     "litehrnet",
+    "fold_variables",
     "quantize_model",
 ]

@@ -36,6 +36,7 @@ class HeatmapHead(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False
     calibrate: bool = False
+    fold: bool = False  # accepted for interface symmetry; no ConvNorms here
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -72,13 +73,14 @@ class FusionHead(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False
     calibrate: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
         h = self.hidden_dim
         K = self.num_keypoints
         kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
-                  calibrate=self.calibrate)
+                  calibrate=self.calibrate, fold=self.fold)
 
         def deq(t):
             # int8 mode: branch ConvNorms emit QTensors; the 1x1 finals

@@ -183,6 +183,7 @@ class HRFormerModule(nn.Module):
     use_pallas: bool = False
     quant: bool = False
     calibrate: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, xs: List[jnp.ndarray], train: bool = False
@@ -210,6 +211,7 @@ class HRFormerModule(nn.Module):
                 elif j > i:
                     contrib = ConvNorm(self.num_channels[i], 1, use_relu=False,
                                        norm=self.norm, dtype=self.dtype,
+                                       fold=self.fold,
                                        name=f"fuse{i}_{j}")(ys[j], train)
                     contrib = resize_bilinear(contrib, ys[i].shape[1],
                                               ys[i].shape[2])
@@ -220,8 +222,8 @@ class HRFormerModule(nn.Module):
                         contrib = ConvNorm(
                             self.num_channels[i] if last else self.num_channels[j],
                             3, strides=2, use_relu=not last, norm=self.norm,
-                            dtype=self.dtype, name=f"fuse{i}_{j}_{k}")(
-                                contrib, train)
+                            dtype=self.dtype, fold=self.fold,
+                            name=f"fuse{i}_{j}_{k}")(contrib, train)
                 acc = contrib if acc is None else acc + contrib
             fused.append(nn.relu(acc))
         return fused
@@ -245,16 +247,18 @@ class HRFormer(nn.Module):
     # stay in the compute dtype, so no QTensor plumbing between modules.
     quant: bool = False
     calibrate: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         # Conv stem + 2 Bottlenecks (ref stage1_num_blocks=(2,)).
         x = ConvNorm(64, 3, strides=2, norm=self.norm, dtype=self.dtype,
-                     name="stem1")(x, train)
+                     fold=self.fold, name="stem1")(x, train)
         x = ConvNorm(64, 3, strides=2, norm=self.norm, dtype=self.dtype,
-                     name="stem2")(x, train)
+                     fold=self.fold, name="stem2")(x, train)
         for b in range(2):
             x = Bottleneck(64, norm=self.norm, dtype=self.dtype,
+                           fold=self.fold,
                            name=f"layer1_block{b}")(x, train)
 
         xs = [x]
@@ -267,12 +271,14 @@ class HRFormer(nn.Module):
                     if xs[i].shape[-1] != ch:
                         new_xs.append(ConvNorm(
                             ch, 3, norm=self.norm, dtype=self.dtype,
+                            fold=self.fold,
                             name=f"transition{s + 1}_{i}")(xs[i], train))
                     else:
                         new_xs.append(xs[i])
                 else:
                     new_xs.append(ConvNorm(
                         ch, 3, strides=2, norm=self.norm, dtype=self.dtype,
+                        fold=self.fold,
                         name=f"transition{s + 1}_{i}")(xs[-1], train))
             xs = new_xs
             for m in range(modules):
@@ -281,21 +287,24 @@ class HRFormer(nn.Module):
                     self.mlp_ratio, self.drop_path_rate, norm=self.norm,
                     dtype=self.dtype, use_pallas=self.use_pallas,
                     quant=self.quant, calibrate=self.calibrate,
+                    fold=self.fold,
                     name=f"stage{s + 2}_module{m}")(xs, train)
         return xs[0]
 
 
 def hrformer_base(norm: str = "batchnorm", dtype: Any = jnp.float32,
                   use_pallas: bool = False, quant: bool = False,
-                  calibrate: bool = False) -> HRFormer:
+                  calibrate: bool = False, fold: bool = False) -> HRFormer:
     return HRFormer(channels=(78, 156, 312, 624), num_heads=(2, 4, 8, 16),
                     drop_path_rate=0.2, norm=norm, dtype=dtype,
-                    use_pallas=use_pallas, quant=quant, calibrate=calibrate)
+                    use_pallas=use_pallas, quant=quant, calibrate=calibrate,
+                    fold=fold)
 
 
 def hrformer_small(norm: str = "batchnorm", dtype: Any = jnp.float32,
                    use_pallas: bool = False, quant: bool = False,
-                   calibrate: bool = False) -> HRFormer:
+                   calibrate: bool = False, fold: bool = False) -> HRFormer:
     return HRFormer(channels=(32, 64, 128, 256), num_heads=(1, 2, 4, 8),
                     drop_path_rate=0.1, norm=norm, dtype=dtype,
-                    use_pallas=use_pallas, quant=quant, calibrate=calibrate)
+                    use_pallas=use_pallas, quant=quant, calibrate=calibrate,
+                    fold=fold)

@@ -32,12 +32,13 @@ class HRModule(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False
     calibrate: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, xs, train: bool = False):
         n = len(self.num_channels)
         kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
-                  calibrate=self.calibrate)
+                  calibrate=self.calibrate, fold=self.fold)
         # Branch blocks.
         ys = []
         for i, x in enumerate(xs):
@@ -99,6 +100,7 @@ class HRNet(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False
     calibrate: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -110,7 +112,7 @@ class HRNet(nn.Module):
         ]
         stage_modules = [1, 4, 3]
         kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
-                  calibrate=self.calibrate)
+                  calibrate=self.calibrate, fold=self.fold)
 
         if self.quant:
             from ..ops import quant as quant_ops
@@ -158,12 +160,14 @@ class HRNet(nn.Module):
 
 
 def hrnet_w32(norm: str = "batchnorm", dtype: Any = jnp.float32,
-              quant: bool = False, calibrate: bool = False) -> HRNet:
+              quant: bool = False, calibrate: bool = False,
+              fold: bool = False) -> HRNet:
     return HRNet(base_channels=32, norm=norm, dtype=dtype, quant=quant,
-                 calibrate=calibrate)
+                 calibrate=calibrate, fold=fold)
 
 
 def hrnet_w48(norm: str = "batchnorm", dtype: Any = jnp.float32,
-              quant: bool = False, calibrate: bool = False) -> HRNet:
+              quant: bool = False, calibrate: bool = False,
+              fold: bool = False) -> HRNet:
     return HRNet(base_channels=48, norm=norm, dtype=dtype, quant=quant,
-                 calibrate=calibrate)
+                 calibrate=calibrate, fold=fold)

@@ -52,9 +52,26 @@ class ConvNorm(nn.Module):
     quant: bool = False
     quant_out: bool = True   # requantize the output to int8
     calibrate: bool = False
+    # fold: float serving with inference-BN baked into the conv weights +
+    # bias (models/fold.py) — removes the separate BN op whose layout/
+    # fusion overhead dominates the stem (BENCH.md stem probe: 1.8 ms
+    # without BN vs 18 ms with, b256).
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.fold:
+            x = nn.Conv(
+                self.features,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.strides, self.strides),
+                padding=self.kernel_size // 2,
+                use_bias=True,
+                kernel_init=conv_kernel_init,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
+            return nn.relu(x) if self.use_relu else x
         if self.quant:
             return self._quant_call(x)
         x = nn.Conv(
@@ -186,11 +203,12 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False
     calibrate: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
-                  calibrate=self.calibrate)
+                  calibrate=self.calibrate, fold=self.fold)
         y = ConvNorm(self.features, 3, name="conv1", **kw)(x, train)
         y = ConvNorm(self.features, 3, use_relu=False, name="conv2",
                      quant_out=False, **kw)(y, train)
@@ -217,12 +235,13 @@ class Bottleneck(nn.Module):
     dtype: Any = jnp.float32
     quant: bool = False
     calibrate: bool = False
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.features * self.expansion
         kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
-                  calibrate=self.calibrate)
+                  calibrate=self.calibrate, fold=self.fold)
         in_ch = x.shape[-1]
         if in_ch != out_ch:
             residual = ConvNorm(out_ch, 1, use_relu=False, quant_out=False,

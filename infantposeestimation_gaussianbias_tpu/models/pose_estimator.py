@@ -48,6 +48,9 @@ class PoseEstimator(nn.Module):
     # for the HRNet backbones with the fusion/heatmap heads.
     quant: bool = False
     calibrate: bool = False
+    # BN-fold float serving (models/fold.py): ConvNorm BatchNorms baked
+    # into conv weights+bias.  hrnet/hrformer + fusion/heatmap heads.
+    fold: bool = False
 
     def setup(self):
         kwargs = dict(norm=self.norm, dtype=self.dtype)
@@ -71,6 +74,18 @@ class PoseEstimator(nn.Module):
                 f"{self.head_type!r}")
         if quant_conv or quant_dense:
             kwargs.update(quant=self.quant, calibrate=self.calibrate)
+        if self.fold:
+            if not self.backbone_name.startswith(("hrnet", "hrformer")):
+                raise ValueError(
+                    f"BN-fold serving supports hrnet/hrformer backbones, "
+                    f"not {self.backbone_name!r}")
+            if self.head_type not in ("fusion", "heatmap"):
+                raise ValueError(
+                    f"BN-fold serving supports fusion/heatmap heads, not "
+                    f"{self.head_type!r}")
+            if self.norm != "batchnorm":
+                raise ValueError("BN-fold requires batchnorm ConvNorms")
+            kwargs.update(fold=True)
         if self.backbone_name not in BACKBONES:
             raise ValueError(f"Unknown backbone {self.backbone_name!r}; "
                              f"known: {sorted(BACKBONES)}")
@@ -78,6 +93,8 @@ class PoseEstimator(nn.Module):
 
         head_q = (dict(quant=self.quant, calibrate=self.calibrate)
                   if quant_conv else {})
+        if self.fold:
+            head_q = dict(head_q, fold=True)
         if self.head_type == "fusion":
             self.head = FusionHead(self.num_keypoints, self.hidden_dim,
                                    norm=self.norm, dtype=self.dtype,
@@ -103,12 +120,13 @@ class PoseEstimator(nn.Module):
             return self.head(feats, train)
 
 
-def build_model(cfg, quant: bool = False,
-                calibrate: bool = False) -> PoseEstimator:
+def build_model(cfg, quant: bool = False, calibrate: bool = False,
+                fold: bool = False) -> PoseEstimator:
     """Build from a Config (ref models/pose_estimator.py:376-392).
 
     ``quant``/``calibrate`` build the int8 PTQ serving / calibration
-    variants of the same architecture (see ops/quant.py)."""
+    variants of the same architecture (see ops/quant.py); ``fold`` builds
+    the BN-folded float serving variant (models/fold.py)."""
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     return PoseEstimator(
         backbone_name=cfg.model.backbone,
@@ -125,6 +143,7 @@ def build_model(cfg, quant: bool = False,
                     and jax.default_backend() == "tpu"),
         quant=quant,
         calibrate=calibrate,
+        fold=fold,
     )
 
 
