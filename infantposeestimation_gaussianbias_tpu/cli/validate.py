@@ -24,6 +24,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Evaluate on COCO val")
     add_config_args(parser)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--int8", action="store_true",
+                        help="serve int8 PTQ (calibrated on the first "
+                             "val batch); loss reporting is skipped")
+    parser.add_argument("--no-fold", action="store_true",
+                        help="disable the (exact) BN-fold serving "
+                             "transform for the float path")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
     setup_logging()
@@ -37,7 +43,29 @@ def main(argv=None):
     loader = build_dataloader(cfg, is_train=False)
     with open(os.path.join(cfg.data.data_root, cfg.data.val_ann)) as f:
         gt = json.load(f)
-    results = validate(cfg, state, loader, gt)
+
+    serve_apply = serve_vars = None
+    with_loss = True
+    if args.int8:
+        from ..data.pipeline import device_batch
+        from ..models import quantize_model
+
+        first = next(iter(loader.epoch(0)))
+        crops = device_batch(first, cfg.data.pixel_mean,
+                             cfg.data.pixel_std)["image"]
+        serve_vars = quantize_model(cfg, state.variables, [crops])
+        serve_apply = build_model(cfg, quant=True).apply
+        with_loss = False
+    elif not args.no_fold and cfg.model.norm == "batchnorm" and \
+            cfg.model.backbone.startswith(("hrnet", "hrformer")) and \
+            cfg.model.head_type in ("fusion", "heatmap"):
+        from ..models import fold_variables
+
+        serve_vars = fold_variables(state.variables)
+        serve_apply = build_model(cfg, fold=True).apply
+
+    results = validate(cfg, state, loader, gt, with_loss=with_loss,
+                       apply_fn=serve_apply, variables=serve_vars)
     for k, v in results.items():
         print(f"{k:>6}: {v:.4f}")
 

@@ -46,10 +46,15 @@ def setup_logging(log_file: Optional[str] = None) -> None:
 
 def validate(cfg: Config, state, loader: DataLoader,
              gt_dataset: Dict, mesh=None,
-             with_loss: bool = True) -> Dict[str, float]:
+             with_loss: bool = True,
+             apply_fn=None, variables=None) -> Dict[str, float]:
     """Flip-test validation -> COCO AP + val loss (ref validate.py:39-140;
     the reference runs an extra loss-only forward per batch — here the loss
-    shares the unflipped forward inside one jit)."""
+    shares the unflipped forward inside one jit).
+
+    ``apply_fn``/``variables`` override the serving model (int8 PTQ or
+    BN-folded variants); the optional loss still runs on the float state.
+    """
     from .step import make_eval_step
 
     schema = cfg.data.keypoint_schema
@@ -61,17 +66,20 @@ def validate(cfg: Config, state, loader: DataLoader,
     eval_step = jax.jit(make_eval_step(cfg, schema)) if with_loss else None
     loss_meter = MetricLogger()
 
+    serve_apply = apply_fn if apply_fn is not None else state.apply_fn
+
     @jax.jit
     def infer_batch(variables, images, centers, scales):
         coords, scores = flip_inference(
-            state.apply_fn, variables, images, flip_idx,
+            serve_apply, variables, images, flip_idx,
             cfg.model.head_type, cfg.eval.decode,
             shift_heatmap=cfg.eval.shift_heatmap, flip=cfg.eval.flip_test)
         coords = coords * jnp.asarray([W / hm_w, H / hm_h], jnp.float32)
         coords = decode_ops.transform_preds(coords, centers, scales, (W, H))
         return coords, scores
 
-    variables = state.variables
+    if variables is None:
+        variables = state.variables
     n = 0
     t0 = time.time()
     for batch in loader.epoch(0):

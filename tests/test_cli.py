@@ -41,6 +41,24 @@ def test_cli_validate(disk_dataset, capsys):
     assert "AP" in out and "AR" in out
 
 
+def test_cli_validate_hrnet_fold_and_int8(disk_dataset, capsys):
+    """hrnet validate serves BN-folded by default; --int8 calibrates on
+    the first val batch and serves the PTQ path."""
+    from infantposeestimation_gaussianbias_tpu.cli.validate import main
+
+    root, _ = disk_dataset
+    args = ["--set", "model.backbone=hrnet_w32", "model.head_type=heatmap",
+            "model.compute_dtype=float32", "data.input_size=64,64",
+            "data.heatmap_size=16,16", "eval.batch_size=4",
+            f"data.data_root={root}"]
+    main(args)  # BN-fold path
+    out = capsys.readouterr().out
+    assert "AP" in out
+    main(args + ["--int8"])
+    out = capsys.readouterr().out
+    assert "AP" in out
+
+
 def test_cli_infer_image(disk_dataset, tmp_path, capsys):
     from infantposeestimation_gaussianbias_tpu.cli.infer import main
 
