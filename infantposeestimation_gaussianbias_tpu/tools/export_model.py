@@ -22,23 +22,39 @@ import jax
 import jax.numpy as jnp
 
 
-def build_serving_fn(cfg, state, frame_hw: Tuple[int, int] = (512, 512)):
+def build_serving_fn(cfg, state, frame_hw: Tuple[int, int] = (512, 512),
+                     fold: Optional[bool] = None):
     """(frames u8 (B,H,W,3), centers (B,2), scales (B,2)) ->
-    (keypoints (B,K,2) frame coords, scores (B,K))."""
-    from ..models import decode_outputs, flip_inference
+    (keypoints (B,K,2) frame coords, scores (B,K)).
+
+    ``fold`` bakes inference BN into the conv weights before export
+    (models/fold.py — exact); default: fold whenever the architecture
+    supports it."""
+    from ..models import build_model, decode_outputs, flip_inference
     from ..ops import affine, decode
 
     W, H = cfg.data.input_size
     hm_w, hm_h = cfg.data.heatmap_size
     flip_idx = jnp.asarray(cfg.data.keypoint_schema.flip_index())
     variables = state.variables
+    apply_fn = state.apply_fn
+
+    if fold is None:
+        fold = (cfg.model.backbone.startswith(("hrnet", "hrformer"))
+                and cfg.model.head_type in ("fusion", "heatmap")
+                and cfg.model.norm == "batchnorm")
+    if fold:
+        from ..models import fold_variables
+
+        variables = fold_variables(variables)
+        apply_fn = build_model(cfg, fold=True).apply
 
     def serve(frames, centers, scales):
         crops = affine.crop_and_normalize(
             frames.astype(jnp.float32), centers, scales, (W, H),
             mean=cfg.data.pixel_mean, std=cfg.data.pixel_std)
         coords, scores = flip_inference(
-            state.apply_fn, variables, crops, flip_idx,
+            apply_fn, variables, crops, flip_idx,
             cfg.model.head_type, cfg.eval.decode,
             shift_heatmap=cfg.eval.shift_heatmap, flip=cfg.eval.flip_test)
         coords = coords * jnp.asarray([W / hm_w, H / hm_h], jnp.float32)

@@ -101,6 +101,41 @@ def test_pose_inference_folds_by_default(rng):
     np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-3)
 
 
+def test_export_serving_fn_folds_by_default(rng):
+    """build_serving_fn folds BN for supported architectures; outputs
+    must match the unfolded pipeline."""
+    from infantposeestimation_gaussianbias_tpu.tools.export_model import (
+        build_serving_fn,
+    )
+    from infantposeestimation_gaussianbias_tpu.train.step import (
+        create_train_state,
+    )
+
+    cfg = Config()
+    cfg.model.backbone = "hrnet_w32"
+    cfg.model.head_type = "heatmap"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.input_size = (48, 64)
+    cfg.data.heatmap_size = (12, 16)
+    cfg.eval.flip_test = False
+
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+
+    frames = jnp.asarray(rng.randint(0, 255, (2, 96, 96, 3)).astype(np.uint8))
+    centers = jnp.asarray(rng.uniform(30, 60, (2, 2)).astype(np.float32))
+    scales = jnp.asarray(np.full((2, 2), 64.0, np.float32))
+
+    k1, s1 = jax.jit(build_serving_fn(cfg, state, (96, 96)))(
+        frames, centers, scales)
+    k2, s2 = jax.jit(build_serving_fn(cfg, state, (96, 96), fold=False))(
+        frames, centers, scales)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                               rtol=1e-3, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_fold_rejects_unsupported():
     cfg = Config()
     cfg.model.backbone = "litehrnet"
