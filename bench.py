@@ -42,7 +42,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 BASELINE_IMG_PER_S = 45.0  # RTX 3090 HRNet-W32 (~22 ms/img)
 
 
-def build(batch_size: int, quant: bool = False, fold: bool = False):
+def build(batch_size: int, quant: bool = False, fold: bool = False,
+          backbone: str = "hrnet_w32"):
     from infantposeestimation_gaussianbias_tpu.config import Config
     from infantposeestimation_gaussianbias_tpu.models import (
         build_model,
@@ -53,7 +54,7 @@ def build(batch_size: int, quant: bool = False, fold: bool = False):
     from infantposeestimation_gaussianbias_tpu.ops import affine, decode
 
     cfg = Config()
-    cfg.model.backbone = "hrnet_w32"
+    cfg.model.backbone = backbone
     cfg.model.head_type = "fusion"
     cfg.model.compute_dtype = "bfloat16"
     cfg.data.input_size = (192, 256)
@@ -138,8 +139,9 @@ def main():
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     quant = os.environ.get("BENCH_QUANT", "1") == "1"
     fold = os.environ.get("BENCH_FOLD", "1") == "1" and not quant
+    backbone = os.environ.get("BENCH_MODEL", "hrnet_w32")
 
-    chained, args = build(bs, quant=quant, fold=fold)
+    chained, args = build(bs, quant=quant, fold=fold, backbone=backbone)
     t1 = timed(chained(1), args, repeats)
     tk = timed(chained(chain), args, repeats)
     per_iter = (tk - t1) / (chain - 1)
@@ -156,6 +158,7 @@ def main():
         "device": str(jax.devices()[0]),
         "precision": ("int8-ptq" if quant
                       else "bf16-bnfold" if fold else "bf16"),
+        "backbone": backbone,
     }
     print(json.dumps(result))
 
