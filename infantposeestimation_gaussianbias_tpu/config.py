@@ -80,6 +80,10 @@ class ModelConfig:
     # Norm layer: batchnorm matches the reference; groupnorm is the
     # sync-free alternative for very large data-parallel meshes.
     norm: str = "batchnorm"
+    # Rematerialize exchange modules in the backward pass (jax.checkpoint
+    # via nn.remat): trades recompute FLOPs for activation HBM — for
+    # larger batches / models whose backward is bandwidth-bound.
+    remat: bool = False
     # Parameter / activation dtype policy: "float32" or "bfloat16".
     compute_dtype: str = "bfloat16"
     # Use the fused Pallas window-MSA kernel in HRFormer inference

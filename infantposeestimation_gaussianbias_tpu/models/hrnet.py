@@ -101,6 +101,9 @@ class HRNet(nn.Module):
     quant: bool = False
     calibrate: bool = False
     fold: bool = False
+    # remat: recompute each exchange module's activations in the backward
+    # pass instead of storing them (activation-HBM vs FLOPs trade).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -152,22 +155,24 @@ class HRNet(nn.Module):
                         ch, 3, strides=2, name=f"transition{s + 1}_{i}",
                         **kw)(xs[-1], train))
             xs = new_xs
+            mod_cls = (nn.remat(HRModule, static_argnums=(2,))
+                       if self.remat else HRModule)
             for m in range(modules):
-                xs = HRModule(channels, name=f"stage{s + 2}_module{m}",
-                              **kw)(xs, train)
+                xs = mod_cls(channels, name=f"stage{s + 2}_module{m}",
+                             **kw)(xs, train)
 
         return xs[0]
 
 
 def hrnet_w32(norm: str = "batchnorm", dtype: Any = jnp.float32,
               quant: bool = False, calibrate: bool = False,
-              fold: bool = False) -> HRNet:
+              fold: bool = False, remat: bool = False) -> HRNet:
     return HRNet(base_channels=32, norm=norm, dtype=dtype, quant=quant,
-                 calibrate=calibrate, fold=fold)
+                 calibrate=calibrate, fold=fold, remat=remat)
 
 
 def hrnet_w48(norm: str = "batchnorm", dtype: Any = jnp.float32,
               quant: bool = False, calibrate: bool = False,
-              fold: bool = False) -> HRNet:
+              fold: bool = False, remat: bool = False) -> HRNet:
     return HRNet(base_channels=48, norm=norm, dtype=dtype, quant=quant,
-                 calibrate=calibrate, fold=fold)
+                 calibrate=calibrate, fold=fold, remat=remat)

@@ -51,11 +51,16 @@ class PoseEstimator(nn.Module):
     # BN-fold float serving (models/fold.py): ConvNorm BatchNorms baked
     # into conv weights+bias.  hrnet/hrformer + fusion/heatmap heads.
     fold: bool = False
+    # Rematerialize backbone exchange modules in the backward pass
+    # (hrnet backbones).
+    remat: bool = False
 
     def setup(self):
         kwargs = dict(norm=self.norm, dtype=self.dtype)
         if self.backbone_name.startswith("hrformer"):
             kwargs["use_pallas"] = self.use_pallas
+        if self.remat and self.backbone_name.startswith("hrnet"):
+            kwargs["remat"] = True
         # int8 PTQ: hrnet quantizes the whole conv pipeline (QTensor
         # activations, BN folded into epilogues) including the head;
         # hrformer quantizes its transformer Dense layers (the FLOPs)
@@ -144,6 +149,7 @@ def build_model(cfg, quant: bool = False, calibrate: bool = False,
         quant=quant,
         calibrate=calibrate,
         fold=fold,
+        remat=getattr(cfg.model, "remat", False),
     )
 
 

@@ -124,6 +124,7 @@ def main():
     cfg.model.backbone = "hrnet_w32"
     cfg.model.head_type = "fusion"
     cfg.model.compute_dtype = "bfloat16"
+    cfg.model.remat = os.environ.get("PROBE_REMAT", "0") == "1"
     cfg.data.input_size = (192, 256)
     cfg.data.heatmap_size = (48, 64)
     schema = cfg.data.keypoint_schema
