@@ -73,6 +73,41 @@ def test_simcc_head_outputs():
     assert coords.shape == (2, 17, 2)
 
 
+def test_simcc_decode_oracle(rng):
+    """Gaussian logits centered at known sub-pixel coords must decode back
+    to those coords (softmax-expectation decode; ref
+    analysis/hrnet_improvements.py:205-224), and simcc_loss must be
+    minimized at the true coordinates."""
+    import jax.numpy as jnp
+
+    from infantposeestimation_gaussianbias_tpu.models import SimCCHead
+    from infantposeestimation_gaussianbias_tpu.train.step import simcc_loss
+
+    split = 2.0
+    W, H = 48, 64
+    nx, ny = int(W * split), int(H * split)
+    true = np.stack([rng.uniform(5, W - 5, (2, 17)),
+                     rng.uniform(5, H - 5, (2, 17))], -1).astype(np.float32)
+
+    def gauss_logits(mu, n):
+        bins = np.arange(n, dtype=np.float32)
+        return -((bins - mu[..., None] * split) ** 2) / (2 * 4.0**2)
+
+    sx = jnp.asarray(gauss_logits(true[..., 0], nx) * 10)
+    sy = jnp.asarray(gauss_logits(true[..., 1], ny) * 10)
+    coords, scores = SimCCHead.decode(sx, sy, split)
+    np.testing.assert_allclose(np.asarray(coords), true, atol=0.05)
+    assert float(jnp.min(scores)) > 0.1
+
+    # loss at the true coords is lower than at shifted coords
+    w = jnp.ones((2, 17), jnp.float32)
+    outputs = {"simcc_x": sx, "simcc_y": sy}
+    l_true = float(simcc_loss(outputs, jnp.asarray(true), w, (W, H), split))
+    l_off = float(simcc_loss(outputs, jnp.asarray(true + 3.0), w, (W, H),
+                             split))
+    assert l_true < l_off
+
+
 def test_hrformer_small_shapes():
     model = PoseEstimator(backbone_name="hrformer_small", head_type="fusion",
                           num_keypoints=17, hidden_dim=64)
