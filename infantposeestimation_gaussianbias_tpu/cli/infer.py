@@ -31,16 +31,20 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None)
     parser.add_argument("--clinical-report", default=None,
                         help="write a clinical analysis figure (video mode)")
+    parser.add_argument("--no-fold", action="store_true",
+                        help="disable the (exact) BN-fold float serving "
+                             "transform")
     parser.add_argument("--int8", action="store_true",
                         help="serve in int8 (PTQ, calibrated on the first "
-                             "batch; hrnet backbones)")
+                             "batch; hrnet conv-PTQ or hrformer Dense-PTQ)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
     import cv2
 
     infer = PoseInference(cfg, checkpoint=args.checkpoint,
-                          quantize=args.int8)
+                          quantize=args.int8,
+                          fold=False if args.no_fold else None)
     schema = cfg.data.keypoint_schema
 
     if args.video or args.input.lower().endswith((".mp4", ".avi", ".mov")):
