@@ -30,7 +30,7 @@ def main():
     )
 
     B = int(os.environ.get("BENCH_BATCH", "128"))
-    K_CHAIN = int(os.environ.get("BENCH_CHAIN", "8"))
+    K_CHAIN = int(os.environ.get("BENCH_CHAIN", "48"))
 
     cfg = Config()
     cfg.model.backbone = "hrnet_w32"
@@ -73,10 +73,14 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t1 = timed(chained(1))
-    tk = timed(chained(K_CHAIN))
-    per = (tk - t1) / (K_CHAIN - 1)
-    print(f"# T_1={t1 * 1e3:.1f}ms T_{K_CHAIN}={tk * 1e3:.1f}ms "
+    # Two-point protocol with a long second chain: short chains (the old
+    # 1-vs-8) leave startup/teardown amortized over too few iterations
+    # and read ~10% high vs probe_train.py's 8-vs-56 measurement.
+    K0 = 8
+    t1 = timed(chained(K0))
+    tk = timed(chained(K0 + K_CHAIN))
+    per = (tk - t1) / K_CHAIN
+    print(f"# T_{K0}={t1 * 1e3:.1f}ms T_{K0 + K_CHAIN}={tk * 1e3:.1f}ms "
           f"-> {per * 1e3:.2f}ms/step of {B}", flush=True)
     print(json.dumps({
         "metric": "train_crops_per_sec_per_chip_256x192",
