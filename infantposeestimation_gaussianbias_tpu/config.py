@@ -84,6 +84,10 @@ class ModelConfig:
     # via nn.remat): trades recompute FLOPs for activation HBM — for
     # larger batches / models whose backward is bandwidth-bound.
     remat: bool = False
+    # HRNet modules per exchange stage; empty = reference layout (1, 4, 3)
+    # (ref models/hrnet.py:230-441).  (1, 1, 1) keeps all structural
+    # elements at ~1/3 the compile cost — used by CPU-host dry runs.
+    hrnet_stage_modules: Tuple[int, ...] = ()
     # Parameter / activation dtype policy: "float32" or "bfloat16".
     compute_dtype: str = "bfloat16"
     # Use the fused Pallas window-MSA kernel in HRFormer inference
@@ -242,6 +246,16 @@ def _coerce(value: Any, target: Any) -> Any:
         if isinstance(value, str):
             value = [v for v in value.replace(",", " ").split() if v]
         elem = target[0] if target else None
+        if elem is None:
+            # Empty-tuple default: infer int, then float, else keep string.
+            def infer(v):
+                for cast in (int, float):
+                    try:
+                        return cast(v)
+                    except (TypeError, ValueError):
+                        pass
+                return v
+            return tuple(infer(v) for v in value)
         return tuple(_coerce(v, elem) for v in value)
     if isinstance(target, float) and value is not None:
         return float(value)

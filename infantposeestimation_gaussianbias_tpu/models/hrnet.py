@@ -14,7 +14,7 @@ Stage layout (identical to the reference):
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -104,6 +104,12 @@ class HRNet(nn.Module):
     # remat: recompute each exchange module's activations in the backward
     # pass instead of storing them (activation-HBM vs FLOPs trade).
     remat: bool = False
+    # Modules per exchange stage; None = the reference layout (1, 4, 3)
+    # (ref models/hrnet.py:230-441).  A reduced layout such as (1, 1, 1)
+    # keeps every structural element (all four stages, all-pairs fusion,
+    # Bottleneck stage-1) while compiling several times faster — used by
+    # the multi-chip dry run on CPU hosts.
+    stage_modules: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -113,7 +119,7 @@ class HRNet(nn.Module):
             (C, 2 * C, 4 * C),
             (C, 2 * C, 4 * C, 8 * C),
         ]
-        stage_modules = [1, 4, 3]
+        stage_modules = self.stage_modules or (1, 4, 3)
         kw = dict(norm=self.norm, dtype=self.dtype, quant=self.quant,
                   calibrate=self.calibrate, fold=self.fold)
 
@@ -166,13 +172,17 @@ class HRNet(nn.Module):
 
 def hrnet_w32(norm: str = "batchnorm", dtype: Any = jnp.float32,
               quant: bool = False, calibrate: bool = False,
-              fold: bool = False, remat: bool = False) -> HRNet:
+              fold: bool = False, remat: bool = False,
+              stage_modules: Optional[Tuple[int, int, int]] = None) -> HRNet:
     return HRNet(base_channels=32, norm=norm, dtype=dtype, quant=quant,
-                 calibrate=calibrate, fold=fold, remat=remat)
+                 calibrate=calibrate, fold=fold, remat=remat,
+                 stage_modules=stage_modules)
 
 
 def hrnet_w48(norm: str = "batchnorm", dtype: Any = jnp.float32,
               quant: bool = False, calibrate: bool = False,
-              fold: bool = False, remat: bool = False) -> HRNet:
+              fold: bool = False, remat: bool = False,
+              stage_modules: Optional[Tuple[int, int, int]] = None) -> HRNet:
     return HRNet(base_channels=48, norm=norm, dtype=dtype, quant=quant,
-                 calibrate=calibrate, fold=fold, remat=remat)
+                 calibrate=calibrate, fold=fold, remat=remat,
+                 stage_modules=stage_modules)

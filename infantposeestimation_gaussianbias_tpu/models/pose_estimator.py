@@ -54,6 +54,8 @@ class PoseEstimator(nn.Module):
     # Rematerialize backbone exchange modules in the backward pass
     # (hrnet backbones).
     remat: bool = False
+    # HRNet modules per exchange stage; None = reference (1, 4, 3).
+    stage_modules: Optional[Tuple[int, int, int]] = None
 
     def setup(self):
         kwargs = dict(norm=self.norm, dtype=self.dtype)
@@ -61,6 +63,8 @@ class PoseEstimator(nn.Module):
             kwargs["use_pallas"] = self.use_pallas
         if self.remat and self.backbone_name.startswith("hrnet"):
             kwargs["remat"] = True
+        if self.stage_modules and self.backbone_name.startswith("hrnet"):
+            kwargs["stage_modules"] = tuple(self.stage_modules)
         # int8 PTQ: hrnet quantizes the whole conv pipeline (QTensor
         # activations, BN folded into epilogues) including the head;
         # hrformer quantizes its transformer Dense layers (the FLOPs)
@@ -150,6 +154,9 @@ def build_model(cfg, quant: bool = False, calibrate: bool = False,
         calibrate=calibrate,
         fold=fold,
         remat=getattr(cfg.model, "remat", False),
+        stage_modules=(tuple(cfg.model.hrnet_stage_modules)
+                       if getattr(cfg.model, "hrnet_stage_modules", ())
+                       else None),
     )
 
 
