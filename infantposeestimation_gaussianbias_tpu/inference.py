@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 
 from .config import Config
-from .models import build_model, flip_inference
+from .models import (build_model, flip_inference, serving_mode_supported,
+                     validate_serving_mode)
 from .ops import decode as decode_ops
 from .train.checkpoint import CheckpointManager
 from .train.step import create_train_state
@@ -62,21 +63,17 @@ class PoseInference:
         self._variables = state.variables
         self.quantize = quantize
         if quantize:
-            # fail fast on unsupported architectures
-            build_model(cfg, quant=True)
-            if not cfg.model.backbone.startswith(("hrnet", "hrformer")) or \
-                    (cfg.model.backbone.startswith("hrnet") and
-                     cfg.model.head_type not in ("fusion", "heatmap")):
-                raise ValueError("int8 serving supports hrnet backbones "
-                                 "with fusion/heatmap heads, or hrformer")
+            # fail fast on unsupported architectures: flax setup() is lazy,
+            # so this must run eagerly (same check PoseEstimator.setup uses)
+            validate_serving_mode(cfg.model.backbone, cfg.model.head_type,
+                                  cfg.model.norm, quant=True)
             if calibration_crops is not None:
                 self._install_quant([jnp.asarray(calibration_crops)])
         else:
-            fold_ok = (cfg.model.backbone.startswith(("hrnet", "hrformer"))
-                       and cfg.model.head_type in ("fusion", "heatmap")
-                       and cfg.model.norm == "batchnorm")
             if fold is None:
-                fold = fold_ok
+                fold = serving_mode_supported(
+                    cfg.model.backbone, cfg.model.head_type,
+                    cfg.model.norm, fold=True)
             if fold:
                 from .models import fold_variables
 
@@ -95,9 +92,24 @@ class PoseInference:
         self._jit_pipeline = jax.jit(self._pipeline)
         self._quant_installed = True
 
+    # PTQ abs-max ranges freeze after the first calibration; below this
+    # many crops a single unrepresentative batch (e.g. one dark frame)
+    # would silently degrade every later prediction.
+    MIN_SELF_CALIB_CROPS = 32
+
     def _maybe_calibrate(self, frames, centers, scales) -> None:
         if not self.quantize or getattr(self, "_quant_installed", False):
             return
+        if frames.shape[0] < self.MIN_SELF_CALIB_CROPS:
+            import warnings
+
+            warnings.warn(
+                f"int8 PTQ self-calibrating on the first predicted batch of "
+                f"only {frames.shape[0]} crop(s); activation ranges freeze "
+                f"here permanently. Pass calibration_crops (>= "
+                f"{self.MIN_SELF_CALIB_CROPS} representative crops) to "
+                f"PoseInference for stable quantization.",
+                stacklevel=3)
         from .ops import affine
 
         W, H = self.cfg.data.input_size

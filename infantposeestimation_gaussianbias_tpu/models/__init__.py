@@ -13,6 +13,8 @@ from .pose_estimator import (
     count_params,
     decode_outputs,
     flip_inference,
+    serving_mode_supported,
+    validate_serving_mode,
 )
 
 __all__ = [
@@ -28,6 +30,8 @@ __all__ = [
     "build_model",
     "count_params",
     "decode_outputs",
+    "serving_mode_supported",
+    "validate_serving_mode",
     "flip_inference",
     "hrformer_base",
     "hrformer_small",

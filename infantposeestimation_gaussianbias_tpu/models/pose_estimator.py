@@ -32,6 +32,51 @@ BACKBONES: Dict[str, Callable[..., nn.Module]] = {
 }
 
 
+def validate_serving_mode(backbone_name: str, head_type: str, norm: str,
+                          quant: bool = False, fold: bool = False) -> None:
+    """Raise ValueError unless the architecture supports the requested
+    int8-PTQ / BN-fold serving mode.
+
+    The single source of truth for serving supportability — used by both
+    PoseEstimator.setup (where flax's lazy setup() would otherwise defer
+    the error to first apply) and PoseInference (which needs the answer
+    eagerly at construction), so the two checks cannot drift.
+    """
+    if quant:
+        quant_conv = backbone_name.startswith("hrnet")
+        quant_dense = backbone_name.startswith("hrformer")
+        if not (quant_conv or quant_dense):
+            raise ValueError(
+                f"int8 PTQ supports the hrnet/hrformer backbones, not "
+                f"{backbone_name!r}")
+        if quant_conv and head_type not in ("fusion", "heatmap"):
+            raise ValueError(
+                f"int8 PTQ supports fusion/heatmap heads, not "
+                f"{head_type!r}")
+    if fold:
+        if not backbone_name.startswith(("hrnet", "hrformer")):
+            raise ValueError(
+                f"BN-fold serving supports hrnet/hrformer backbones, "
+                f"not {backbone_name!r}")
+        if head_type not in ("fusion", "heatmap"):
+            raise ValueError(
+                f"BN-fold serving supports fusion/heatmap heads, not "
+                f"{head_type!r}")
+        if norm != "batchnorm":
+            raise ValueError("BN-fold requires batchnorm ConvNorms")
+
+
+def serving_mode_supported(backbone_name: str, head_type: str, norm: str,
+                           quant: bool = False, fold: bool = False) -> bool:
+    """Boolean form of validate_serving_mode."""
+    try:
+        validate_serving_mode(backbone_name, head_type, norm,
+                              quant=quant, fold=fold)
+        return True
+    except ValueError:
+        return False
+
+
 class PoseEstimator(nn.Module):
     """Backbone + head. Input NHWC images; outputs dict of NHWC maps."""
 
@@ -69,31 +114,16 @@ class PoseEstimator(nn.Module):
         # activations, BN folded into epilogues) including the head;
         # hrformer quantizes its transformer Dense layers (the FLOPs)
         # while convs/norms/head stay in the compute dtype.
+        validate_serving_mode(self.backbone_name, self.head_type, self.norm,
+                              quant=self.quant or self.calibrate,
+                              fold=self.fold)
         quant_conv = ((self.quant or self.calibrate)
                       and self.backbone_name.startswith("hrnet"))
         quant_dense = ((self.quant or self.calibrate)
                        and self.backbone_name.startswith("hrformer"))
-        if (self.quant or self.calibrate) and not (quant_conv or quant_dense):
-            raise ValueError(
-                f"int8 PTQ supports the hrnet/hrformer backbones, not "
-                f"{self.backbone_name!r}")
-        if quant_conv and self.head_type not in ("fusion", "heatmap"):
-            raise ValueError(
-                f"int8 PTQ supports fusion/heatmap heads, not "
-                f"{self.head_type!r}")
         if quant_conv or quant_dense:
             kwargs.update(quant=self.quant, calibrate=self.calibrate)
         if self.fold:
-            if not self.backbone_name.startswith(("hrnet", "hrformer")):
-                raise ValueError(
-                    f"BN-fold serving supports hrnet/hrformer backbones, "
-                    f"not {self.backbone_name!r}")
-            if self.head_type not in ("fusion", "heatmap"):
-                raise ValueError(
-                    f"BN-fold serving supports fusion/heatmap heads, not "
-                    f"{self.head_type!r}")
-            if self.norm != "batchnorm":
-                raise ValueError("BN-fold requires batchnorm ConvNorms")
             kwargs.update(fold=True)
         if self.backbone_name not in BACKBONES:
             raise ValueError(f"Unknown backbone {self.backbone_name!r}; "

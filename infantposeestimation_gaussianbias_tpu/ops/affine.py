@@ -202,16 +202,25 @@ def _lerp_taps_along(x: jnp.ndarray, src: jnp.ndarray, axis: int,
     return tap(i0) * (1.0 - f) + tap(i0 + 1) * f
 
 
+# Max per-column vertical shear |ic/ia| (= |tan(rot)| for pure
+# rotation+scale) the two-pass warp tolerates before its sheared
+# bilinear footprint degrades; beyond it (|rot| > ~63 deg) samples take
+# the exact joint-gather path.  Reference training rotation is a
+# +-2*40 deg clipped gaussian (/root/reference/datasets/transforms.py:
+# 154-195), so the tail past 63 deg does occur.
+_TWOPASS_MAX_SHEAR = 2.0
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def warp_affine_twopass(imgs: jnp.ndarray, mats: jnp.ndarray,
                         out_w: int, out_h: int) -> jnp.ndarray:
     """General batched affine warp (rotation included) as TWO single-axis
     resample passes — the Catmull-Smith decomposition.
 
-    Bilinear weights are separable (w = wy * wx with independent validity
-    masks), so a full 2-D warp factors exactly into a vertical then a
-    horizontal 1-D resample whose sample positions are affine in the other
-    coordinate:
+    The sample POSITIONS factor exactly: pass 1 resamples each column j
+    vertically at  s*y + u*j + v  and pass 2 resamples horizontally at
+    ia*x + ib*y + itx, which lands on the true source position
+    (ic*x + id*y + ity vertically) at the continuous sample point:
 
         tmp[b, y, j] = lerp_y( imgs[b, :, j],  s*y + u*j + v )
         out[b, y, x] = lerp_x( tmp[b, y, :],   ia*x + ib*y + itx )
@@ -219,20 +228,32 @@ def warp_affine_twopass(imgs: jnp.ndarray, mats: jnp.ndarray,
     with (for the dst->src inverse [[ia, ib, itx], [ic, id, ity]]):
         u = ic/ia,  s = id - ib*ic/ia,  v = ity - u*itx.
 
-    Each pass is a 2-tap take_along_axis (single-axis gather) instead of
-    the 4-tap joint 2-D gather of warp_affine_batch — the rot!=0 fast path
-    this framework uses for on-device training augmentation.  Degenerate
-    only as |rotation| -> 90 deg (ia -> 0); training augmentation stays
-    well inside that (+-40 deg, ref configs).  Matches
-    cv2.warpAffine(INTER_LINEAR, BORDER_CONSTANT=0) like the reference's
-    host path (/root/reference/datasets/transforms.py:40-46).
+    The bilinear FOOTPRINT however is an approximation under rotation:
+    pass 2's two column taps j0, j0+1 carry vertical positions differing
+    by u = ic/ia, so the 4 effective taps form a sheared parallelogram
+    rather than cv2's axis-aligned unit square.  Exact only when u == 0
+    (rot = 0 / pure scale+flip); for smooth content at the reference's
+    typical rotations (+-40 deg) the error is small (see
+    test_warp_twopass_close_to_cv2_on_smooth_content), growing with
+    |tan(rot)| and degenerate as |rot| -> 90 deg (ia -> 0, u -> inf).
+
+    Samples whose shear exceeds ``_TWOPASS_MAX_SHEAR`` (|u| > 2, i.e.
+    |rot| beyond ~63 deg, including the +-90 NaN zone) therefore fall
+    back per-sample to the exact joint 4-tap ``warp_affine_batch`` path;
+    the fallback branch only executes at runtime when such a sample is
+    present (lax.cond).  Each pass is a 2-tap take_along_axis
+    (single-axis gather) instead of the 4-tap joint 2-D gather — the
+    rot!=0 fast path this framework uses for on-device training
+    augmentation.  Approximates cv2.warpAffine(INTER_LINEAR,
+    BORDER_CONSTANT=0) like the reference's host path
+    (/root/reference/datasets/transforms.py:40-46).
     """
     B, H, W, C = imgs.shape
     inv = invert_affine(mats)
     ia, ib, itx = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
     ic, id_, ity = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
 
-    u = ic / ia
+    u = ic / ia  # inf/nan at ia == 0 (|rot| = 90 deg); guarded below
     s = id_ - ib * ic / ia
     v = ity - u * itx
 
@@ -250,7 +271,20 @@ def warp_affine_twopass(imgs: jnp.ndarray, mats: jnp.ndarray,
     src_x = (ia[:, None, None] * xs[None, None, :]
              + ib[:, None, None] * ys[None, :, None]
              + itx[:, None, None])
-    return _lerp_taps_along(tmp, src_x, axis=2, size=W)
+    two_pass = _lerp_taps_along(tmp, src_x, axis=2, size=W)
+
+    # Per-sample fallback for extreme rotations: ~(<=) also catches the
+    # NaN/inf shear at ia == 0, where two_pass is garbage and jnp.where
+    # must select the joint-gather result instead.
+    bad = jnp.logical_not(jnp.abs(u) <= _TWOPASS_MAX_SHEAR)
+
+    def _with_joint_fallback():
+        joint = jax.vmap(lambda im, m: _warp_one(im, m, out_w, out_h))(
+            imgs, inv)
+        return jnp.where(bad[:, None, None, None], joint, two_pass)
+
+    return jax.lax.cond(jnp.any(bad), _with_joint_fallback,
+                        lambda: two_pass)
 
 
 def crop_and_normalize(

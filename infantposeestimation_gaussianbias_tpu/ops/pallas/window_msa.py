@@ -100,15 +100,17 @@ def window_attention_pallas(
 
 
 def _auto_block(block_windows: int, nW: int, N: int, row_channels: int,
-                budget_bytes: int = 5 * 2**20) -> int:
+                itemsize: int = 2, budget_bytes: int = 5 * 2**20) -> int:
     """Window-block size bounded by a VMEM budget.
 
     Mosaic double-buffers every streamed block, so (in + out) bytes per
     block must stay well under the ~16MB scoped VMEM; row_channels is the
     total channel count moved per window row (e.g. 3C in + C out = 4C for
-    the forward kernel).  At hrformer_base stage-4 (C=624) the fixed
-    GB=32 block hit the limit."""
-    bytes_per_window = N * row_channels * 2  # bf16
+    the forward kernel) and itemsize the operand dtype's bytes/element
+    (2 for bf16, 4 for f32 — sizing for bf16 under f32 operands would
+    under-budget 2x).  At hrformer_base stage-4 (C=624) the fixed GB=32
+    block hit the limit."""
+    bytes_per_window = N * row_channels * itemsize
     gb = max(4, min(block_windows, budget_bytes // max(bytes_per_window, 1)))
     return min(gb, max(nW, 1))
 
@@ -167,7 +169,7 @@ def window_attention_pallas_qkv(
     if bias is None:
         bias = jnp.zeros((H, N, N), jnp.float32)
 
-    GB = _auto_block(block_windows, nW, N, 4 * C)
+    GB = _auto_block(block_windows, nW, N, 4 * C, qkv.dtype.itemsize)
     pad = (-nW) % GB
     if pad:
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
@@ -266,7 +268,8 @@ def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
     H = num_heads
     hd = C // H
 
-    GB = _auto_block(min(16, block_windows), nW, N, 7 * C)
+    GB = _auto_block(min(16, block_windows), nW, N, 7 * C,
+                     qkv.dtype.itemsize)
     pad = (-nW) % GB
     if pad:
         # zero-padded windows produce ds == 0 (dp == 0), so they pollute

@@ -402,3 +402,24 @@ def test_warp_twopass_geometry_is_exact(rng):
     assert inb.sum() > 1000  # the mask keeps a meaningful region
     diff = np.abs(a - b) * inb
     assert diff.max() < 1e-2
+
+def test_warp_twopass_extreme_rotation_falls_back_to_joint(rng):
+    """Rotations past the shear threshold (|tan rot| > 2, incl. the
+    +-90 deg ia=0 NaN zone) must select the exact joint-gather result
+    per sample, leaving in-threshold samples on the two-pass path."""
+    img = rng.randint(0, 255, (60, 80, 3)).astype(np.float32)
+    imgs = jnp.asarray(np.repeat(img[None], 4, 0))
+    centers = jnp.asarray(np.tile([40.0, 30.0], (4, 1)).astype(np.float32))
+    scales = jnp.asarray(np.tile([55.0, 73.0], (4, 1)).astype(np.float32))
+    rots = jnp.asarray(np.array([90.0, -75.0, 20.0, -89.9], np.float32))
+    mats = ops.get_affine_matrix(centers, scales, (24, 32), rots)
+    out = np.asarray(ops.warp_affine_twopass(imgs, mats, 24, 32))
+    joint = np.asarray(ops.warp_affine_batch(imgs, mats, 24, 32))
+    assert np.isfinite(out).all()
+    # extreme-rotation samples == the exact joint warp
+    for i in (0, 1, 3):
+        np.testing.assert_allclose(out[i], joint[i], rtol=1e-4, atol=1e-2)
+    # the moderate sample stayed on the (approximate) two-pass path
+    tp = np.asarray(ops.warp_affine_twopass(
+        imgs[2:3], mats[2:3], 24, 32))[0]
+    np.testing.assert_allclose(out[2], tp, rtol=1e-5, atol=1e-3)
