@@ -9,8 +9,12 @@ area-range boundaries (inclusive at 32^2 / 96^2), the maxDets=20 cap,
 tied scores across images, graded OKS vs thresholds, and loadRes-style
 detection areas for unmatched-det range ignoring.
 
-Every scenario asserts (a) exact agreement with the oracle on all 10
-stats and (b) hand-derived literal values where tractable.
+Every scenario asserts (a) exact agreement with TWO independent oracles
+on all 10 stats — the per-image dict transcription
+(tests/cocoeval_oracle.py) and the vendored upstream pycocotools
+pipeline (tests/vendor_cocoeval.py), which are also cross-checked
+against each other — and (b) hand-derived literal values where
+tractable.
 """
 
 import numpy as np
@@ -20,6 +24,7 @@ from infantposeestimation_gaussianbias_tpu.eval.coco_eval import COCOEvaluator
 from infantposeestimation_gaussianbias_tpu.schemas import get_schema
 
 from .cocoeval_oracle import evaluate_oracle
+from .vendor_cocoeval import evaluate_vendor
 
 SIGMAS = np.asarray(get_schema("coco17").oks_sigmas, np.float64)
 K = 17
@@ -78,6 +83,11 @@ def run_both(gts, dets, images=None):
          "score": d["score"]} for d in dets]
     ours = ev.evaluate()
     golden = evaluate_oracle(dataset, ev.predictions, SIGMAS)
+    vendor = evaluate_vendor(dataset, ev.predictions, SIGMAS)
+    # the two independent oracles must agree with each other first
+    for k in golden:
+        assert vendor[k] == pytest.approx(golden[k], abs=1e-9), (
+            "oracle disagreement", k, vendor[k], golden[k])
     return ours, golden
 
 
