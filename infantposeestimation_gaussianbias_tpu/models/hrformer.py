@@ -48,6 +48,11 @@ class WindowAttention(nn.Module):
     with_rpe: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    # Device mesh for the shard_map-wrapped kernel: with a multi-device
+    # ('data','model') mesh the fused kernel runs per-shard (windows over
+    # 'data', heads over 'model' when divisible) instead of forcing its
+    # operands to replicate — see window_attention_pallas_qkv_sharded.
+    mesh: Any = None
     quant: bool = False
     calibrate: bool = False
 
@@ -85,9 +90,16 @@ class WindowAttention(nn.Module):
             # to XLA for training.
             from ..ops.pallas.window_msa import (
                 window_attention_pallas_qkv,
+                window_attention_pallas_qkv_sharded,
                 window_attention_pallas_qkv_vjp,
             )
-            if bias is not None:
+            sharded = (self.mesh is not None
+                       and self.mesh.devices.size > 1)
+            if sharded:
+                out = window_attention_pallas_qkv_sharded(
+                    qkv, bias, h, self.mesh,
+                    differentiable=bias is not None)
+            elif bias is not None:
                 out = window_attention_pallas_qkv_vjp(qkv, bias, h)
             else:
                 out = window_attention_pallas_qkv(qkv, None, h)
@@ -144,6 +156,7 @@ class HRFormerBlock(nn.Module):
     with_rpe: bool = True
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    mesh: Any = None
     quant: bool = False
     calibrate: bool = False
 
@@ -155,7 +168,7 @@ class HRFormerBlock(nn.Module):
         wins, (Hp, Wp) = msa.window_partition(y, self.window_size)
         wins = WindowAttention(self.dim, self.window_size, self.num_heads,
                                self.with_rpe, dtype=self.dtype,
-                               use_pallas=self.use_pallas,
+                               use_pallas=self.use_pallas, mesh=self.mesh,
                                quant=self.quant, calibrate=self.calibrate,
                                name="attn")(wins, train)
         wins = wins.reshape(-1, self.window_size, self.window_size, C)
@@ -181,6 +194,7 @@ class HRFormerModule(nn.Module):
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    mesh: Any = None
     quant: bool = False
     calibrate: bool = False
     fold: bool = False
@@ -196,6 +210,7 @@ class HRFormerModule(nn.Module):
                     self.num_channels[i], self.num_heads[i],
                     self.window_size, self.mlp_ratio, self.drop_path,
                     dtype=self.dtype, use_pallas=self.use_pallas,
+                    mesh=self.mesh,
                     quant=self.quant, calibrate=self.calibrate,
                     name=f"branch{i}_block{b}")(x, train)
             ys.append(x)
@@ -242,6 +257,7 @@ class HRFormer(nn.Module):
     norm: str = "batchnorm"
     dtype: Any = jnp.float32
     use_pallas: bool = False
+    mesh: Any = None
     # int8 PTQ: quantizes the transformer Dense layers (qkv/proj/fc1/fc2 —
     # where the FLOPs are); the conv stem/transitions/fuses and all norms
     # stay in the compute dtype, so no QTensor plumbing between modules.
@@ -286,6 +302,7 @@ class HRFormer(nn.Module):
                     channels, heads, self.num_blocks, self.window_size,
                     self.mlp_ratio, self.drop_path_rate, norm=self.norm,
                     dtype=self.dtype, use_pallas=self.use_pallas,
+                    mesh=self.mesh,
                     quant=self.quant, calibrate=self.calibrate,
                     fold=self.fold,
                     name=f"stage{s + 2}_module{m}")(xs, train)
@@ -293,18 +310,22 @@ class HRFormer(nn.Module):
 
 
 def hrformer_base(norm: str = "batchnorm", dtype: Any = jnp.float32,
-                  use_pallas: bool = False, quant: bool = False,
+                  use_pallas: bool = False, mesh: Any = None,
+                  quant: bool = False,
                   calibrate: bool = False, fold: bool = False) -> HRFormer:
     return HRFormer(channels=(78, 156, 312, 624), num_heads=(2, 4, 8, 16),
                     drop_path_rate=0.2, norm=norm, dtype=dtype,
-                    use_pallas=use_pallas, quant=quant, calibrate=calibrate,
+                    use_pallas=use_pallas, mesh=mesh,
+                    quant=quant, calibrate=calibrate,
                     fold=fold)
 
 
 def hrformer_small(norm: str = "batchnorm", dtype: Any = jnp.float32,
-                   use_pallas: bool = False, quant: bool = False,
+                   use_pallas: bool = False, mesh: Any = None,
+                   quant: bool = False,
                    calibrate: bool = False, fold: bool = False) -> HRFormer:
     return HRFormer(channels=(32, 64, 128, 256), num_heads=(1, 2, 4, 8),
                     drop_path_rate=0.1, norm=norm, dtype=dtype,
-                    use_pallas=use_pallas, quant=quant, calibrate=calibrate,
+                    use_pallas=use_pallas, mesh=mesh,
+                    quant=quant, calibrate=calibrate,
                     fold=fold)

@@ -101,11 +101,16 @@ class PoseEstimator(nn.Module):
     remat: bool = False
     # HRNet modules per exchange stage; None = reference (1, 4, 3).
     stage_modules: Optional[Tuple[int, int, int]] = None
+    # Device mesh for mesh-composed Pallas kernels (hrformer backbones):
+    # with a multi-device mesh the W-MSA kernel runs per-shard via
+    # shard_map instead of replicating its operands under GSPMD.
+    mesh: Any = None
 
     def setup(self):
         kwargs = dict(norm=self.norm, dtype=self.dtype)
         if self.backbone_name.startswith("hrformer"):
             kwargs["use_pallas"] = self.use_pallas
+            kwargs["mesh"] = self.mesh
         if self.remat and self.backbone_name.startswith("hrnet"):
             kwargs["remat"] = True
         if self.stage_modules and self.backbone_name.startswith("hrnet"):
@@ -160,12 +165,14 @@ class PoseEstimator(nn.Module):
 
 
 def build_model(cfg, quant: bool = False, calibrate: bool = False,
-                fold: bool = False) -> PoseEstimator:
+                fold: bool = False, mesh: Any = None) -> PoseEstimator:
     """Build from a Config (ref models/pose_estimator.py:376-392).
 
     ``quant``/``calibrate`` build the int8 PTQ serving / calibration
     variants of the same architecture (see ops/quant.py); ``fold`` builds
-    the BN-folded float serving variant (models/fold.py)."""
+    the BN-folded float serving variant (models/fold.py); ``mesh``
+    composes the Pallas W-MSA kernel with a multi-device mesh via
+    shard_map (hrformer backbones)."""
     dtype = jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16" else jnp.float32
     return PoseEstimator(
         backbone_name=cfg.model.backbone,
@@ -187,6 +194,7 @@ def build_model(cfg, quant: bool = False, calibrate: bool = False,
         stage_modules=(tuple(cfg.model.hrnet_stage_modules)
                        if getattr(cfg.model, "hrnet_stage_modules", ())
                        else None),
+        mesh=mesh,
     )
 
 

@@ -23,6 +23,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# When True, every pallas_call in this module runs under the GENERIC
+# Pallas interpreter instead of compiling for TPU.  This exists for the
+# shard_map composition tests on the CPU mesh: pltpu's TPU-semantics
+# interpreter (force_tpu_interpret_mode) synchronizes its emulated cores
+# through io_callback barriers, which deadlock when shard_map fans the
+# kernel out over virtual CPU devices; the generic interpreter has no
+# cross-device barrier.  Tests toggle it via interpret_mode().
+_INTERPRET = False
+
+
+class interpret_mode:
+    """Context manager: run this module's kernels interpreted (tests)."""
+
+    def __enter__(self):
+        global _INTERPRET
+        self._prev = _INTERPRET
+        _INTERPRET = True
+        return self
+
+    def __exit__(self, *exc):
+        global _INTERPRET
+        _INTERPRET = self._prev
+        return False
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
     # Blocks: q/k/v (1, GB, N, hd); bias (1, N, N).
@@ -74,6 +98,7 @@ def window_attention_pallas_hm(
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=hd**-0.5),
+        interpret=_INTERPRET,
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec,
                   pl.BlockSpec((1, N, N), lambda h, w: (h, 0, 0),
@@ -177,6 +202,7 @@ def window_attention_pallas_qkv(
 
     out = pl.pallas_call(
         functools.partial(_attn_qkv_kernel, num_heads=H, scale=hd**-0.5),
+        interpret=_INTERPRET,
         grid=(nWp // GB,),
         in_specs=[
             pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),
@@ -281,6 +307,7 @@ def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
     dqkv, dbias = pl.pallas_call(
         functools.partial(_attn_qkv_bwd_kernel, num_heads=H,
                           scale=hd**-0.5),
+        interpret=_INTERPRET,
         grid=(nWp // GB,),
         in_specs=[
             pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),
@@ -305,3 +332,82 @@ def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
 
 
 window_attention_pallas_qkv_vjp.defvjp(_qkv_vjp_fwd, _qkv_vjp_bwd)
+
+
+def window_attention_pallas_qkv_sharded(
+    qkv: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    num_heads: int,
+    mesh,
+    block_windows: int = 32,
+    differentiable: bool = True,
+) -> jnp.ndarray:
+    """Mesh-composed fused W-MSA: the Pallas kernel under ``shard_map``.
+
+    ``pallas_call`` has no GSPMD partitioning rules, so calling the plain
+    kernel inside a pjit over a mesh forces its operands to replicate.
+    This wrapper makes the kernel and the ('data', 'model') mesh compose:
+
+    * windows shard over 'data' (they are independent — the spatial
+      analogue of sequence parallelism, SURVEY.md section 5.7), with nW
+      zero-padded up to a multiple of the axis size; and
+    * heads shard over 'model' when num_heads divides evenly
+      (head-parallel attention: the flat [q|k|v] thirds each split into
+      contiguous per-head column groups, so feature sharding of the
+      (nW, N, 3, C) view IS head sharding), with the RPE bias sharded on
+      its head axis; otherwise the model axis replicates.
+
+    Autodiff flows through shard_map: dqkv keeps the input specs and the
+    bias cotangent is psum-reduced over 'data' by shard_map's transpose,
+    matching the unsharded kernel's dbias accumulation.
+
+    Args match window_attention_pallas_qkv(_vjp) plus:
+      mesh: a jax.sharding.Mesh with 'data' (and optionally 'model') axes.
+      differentiable: use the custom-VJP kernel (requires bias, like the
+        unsharded variant); False = forward-only kernel.
+    Returns (nW, N, C) sharded over ('data', None, 'model'-or-replicated).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    nW, N, C3 = qkv.shape
+    C = C3 // 3
+    H = num_heads
+
+    d = mesh.shape.get("data", 1)
+    m = mesh.shape.get("model", 1)
+    head_parallel = m > 1 and H % m == 0
+
+    if bias is None:
+        if differentiable:
+            raise ValueError("differentiable sharded W-MSA requires bias "
+                             "(same contract as the unsharded VJP kernel)")
+        bias = jnp.zeros((H, N, N), jnp.float32)
+
+    pad = (-nW) % d
+    if pad:
+        # zero windows attend over zeros -> zero outputs/grads; cropped off
+        qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+    nWp = nW + pad
+
+    # (nW, N, 3C) -> (nW, N, 3, C): row-major split keeps the [q|k|v]
+    # thirds on the new axis, putting heads contiguous on the last axis.
+    qkv4 = qkv.reshape(nWp, N, 3, C)
+    model_ax = "model" if head_parallel else None
+    h_local = H // m if head_parallel else H
+
+    def body(qkv4_l, bias_l):
+        nWl, _, _, Cl = qkv4_l.shape
+        qkv_l = qkv4_l.reshape(nWl, N, 3 * Cl)
+        if differentiable:
+            return window_attention_pallas_qkv_vjp(
+                qkv_l, bias_l, h_local, block_windows)
+        return window_attention_pallas_qkv(
+            qkv_l, bias_l, h_local, block_windows=block_windows)
+
+    out = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", None, None, model_ax), P(model_ax, None, None)),
+        out_specs=P("data", None, model_ax),
+        check_vma=False,
+    )(qkv4, bias)
+    return out[:nW]

@@ -142,7 +142,10 @@ def train(cfg: Config, train_loader: DataLoader,
     steps_per_epoch = len(train_loader)
     cfg.train.steps_per_epoch = steps_per_epoch
 
-    model = build_model(cfg)
+    # The mesh reaches build_model so the Pallas W-MSA kernel composes
+    # with it via shard_map (hrformer) instead of replicating operands.
+    multi = mesh is not None and mesh.devices.size > 1
+    model = build_model(cfg, mesh=mesh if multi else None)
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = create_train_state(cfg, model, rng, mesh=mesh)
     step_fn = jax.jit(make_train_step(cfg, cfg.data.keypoint_schema),

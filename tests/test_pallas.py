@@ -181,3 +181,97 @@ def test_fused_residual_chain_matches_basic_blocks(rng):
         y = fused_residual_chain(x, ws, abs_, 4)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                rtol=2e-3, atol=2e-3)
+
+
+class TestShardedKernel:
+    """shard_map composition: the fused W-MSA kernel under a
+    ('data', 'model') mesh (round-2 verdict item 3).  Uses the generic
+    Pallas interpreter (window_msa.interpret_mode) — the TPU-semantics
+    interpreter's cross-core barriers deadlock under shard_map on
+    virtual CPU devices."""
+
+    def _ref(self, qkv, bias, H):
+        nW, N, C3 = qkv.shape
+        C = C3 // 3
+        hd = C // H
+        q = qkv[:, :, :C].reshape(nW, N, H, hd).transpose(0, 2, 1, 3)
+        k = qkv[:, :, C:2 * C].reshape(nW, N, H, hd).transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2 * C:].reshape(nW, N, H, hd).transpose(0, 2, 1, 3)
+        out = msa.window_attention(q, k, v, bias)
+        return out.transpose(0, 2, 1, 3).reshape(nW, N, C)
+
+    @pytest.mark.parametrize("nW,H,hd", [
+        (30, 4, 16),   # head-parallel on model=2, nW padded 30->32
+        (13, 3, 16),   # H % model != 0 -> model axis replicates
+    ])
+    def test_sharded_qkv_fwd_and_grad_parity(self, nW, H, hd, rng):
+        from infantposeestimation_gaussianbias_tpu.ops.pallas import (
+            window_msa as wm,
+        )
+        from infantposeestimation_gaussianbias_tpu.parallel import create_mesh
+
+        N = 49
+        C = H * hd
+        qkv = jnp.asarray(rng.randn(nW, N, 3 * C).astype(np.float32))
+        bias = jnp.asarray(rng.randn(H, N, N).astype(np.float32))
+        mesh = create_mesh(4, 2)
+
+        with wm.interpret_mode():
+            out = wm.window_attention_pallas_qkv_sharded(qkv, bias, H, mesh)
+        ref = self._ref(qkv, bias, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-3)
+
+        def loss(qkv, bias):
+            return jnp.sum(jnp.sin(
+                wm.window_attention_pallas_qkv_sharded(qkv, bias, H, mesh)))
+
+        with wm.interpret_mode():
+            g = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+        g_ref = jax.grad(
+            lambda a, b: jnp.sum(jnp.sin(self._ref(a, b, H))),
+            argnums=(0, 1))(qkv, bias)
+        np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g_ref[0]),
+                                   atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(g[1]), np.asarray(g_ref[1]),
+                                   atol=2e-3, rtol=1e-3)
+
+    def test_hrformer_forward_under_mesh_keeps_pallas(self, rng):
+        """A tiny HRFormer with use_pallas=True + mesh must match the XLA
+        path bit-for-tolerance on the same params — the flagship kernel
+        and the flagship distribution story compose."""
+        from infantposeestimation_gaussianbias_tpu.models.hrformer import (
+            HRFormer,
+        )
+        from infantposeestimation_gaussianbias_tpu.ops.pallas import (
+            window_msa as wm,
+        )
+        from infantposeestimation_gaussianbias_tpu.parallel import create_mesh
+
+        mesh = create_mesh(4, 2)
+        kw = dict(channels=(8, 16), num_heads=(2, 4), stage_modules=(1,),
+                  num_blocks=1, drop_path_rate=0.0)
+        m_xla = HRFormer(use_pallas=False, **kw)
+        m_pal = HRFormer(use_pallas=True, mesh=mesh, **kw)
+
+        x = jnp.asarray(rng.randn(8, 56, 56, 3).astype(np.float32))
+        variables = m_xla.init(jax.random.PRNGKey(0), x, False)
+        ref = m_xla.apply(variables, x, False)
+        with wm.interpret_mode():
+            out = m_pal.apply(variables, x, False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=1e-3)
+
+        # grads w.r.t. params agree between the two paths
+        def loss(fn, variables, x):
+            return jnp.sum(jnp.sin(fn(variables, x, False)))
+
+        g_ref = jax.grad(lambda v: loss(m_xla.apply, v, x))(variables)
+        with wm.interpret_mode():
+            g = jax.grad(lambda v: loss(m_pal.apply, v, x))(variables)
+        flat_ref = jax.tree_util.tree_leaves(g_ref)
+        flat = jax.tree_util.tree_leaves(g)
+        assert len(flat) == len(flat_ref)
+        for a, b in zip(flat, flat_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-3)
