@@ -275,3 +275,31 @@ class TestShardedKernel:
         for a, b in zip(flat, flat_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-3, rtol=5e-3)
+
+
+def test_conv3x3_wgrad_kernel_parity(rng):
+    """ops/pallas/conv_wgrad.py — a documented NEGATIVE perf result
+    (BENCH.md round 3: VPU realignment of the tile-misaligned tap
+    shifts outweighs the wide-lane MXU win), kept parity-tested so the
+    record stays honest."""
+    from jax import lax
+
+    from infantposeestimation_gaussianbias_tpu.ops.pallas import (
+        conv_wgrad as cw,
+    )
+
+    for (B, H, W, Ci, Co) in [(8, 16, 12, 32, 32), (4, 8, 6, 16, 64)]:
+        x = jnp.asarray(rng.randn(B, H, W, Ci).astype(np.float32))
+        dy = jnp.asarray(rng.randn(B, H, W, Co).astype(np.float32))
+        w0 = jnp.zeros((3, 3, Ci, Co), jnp.float32)
+
+        def conv(w):
+            return lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        ref = jax.vjp(conv, w0)[1](dy)[0]
+        with cw.interpret_mode():
+            got = cw.conv3x3_wgrad(x, dy)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
