@@ -13,7 +13,7 @@ import os
 import jax
 
 from ..data.pipeline import build_dataloader
-from ..models import build_model
+from ..models import build_model, serving_mode_supported
 from ..train.checkpoint import CheckpointManager
 from ..train.loop import setup_logging, validate
 from ..train.step import create_train_state
@@ -56,9 +56,9 @@ def main(argv=None):
         serve_vars = quantize_model(cfg, state.variables, [crops])
         serve_apply = build_model(cfg, quant=True).apply
         with_loss = False
-    elif not args.no_fold and cfg.model.norm == "batchnorm" and \
-            cfg.model.backbone.startswith(("hrnet", "hrformer")) and \
-            cfg.model.head_type in ("fusion", "heatmap"):
+    elif not args.no_fold and serving_mode_supported(
+            cfg.model.backbone, cfg.model.head_type, cfg.model.norm,
+            fold=True):
         from ..models import fold_variables
 
         serve_vars = fold_variables(state.variables)

@@ -47,14 +47,45 @@ def build_state(cfg):
     return create_train_state(cfg, model, jax.random.PRNGKey(0))
 
 
-def run_validation(cfg, state):
-    from ..data.pipeline import build_dataloader
+def run_validation(cfg, state, int8: bool = False, calib_batches: int = 4):
+    """Float flip-test validation; with ``int8`` also PTQ-calibrate on the
+    first ``calib_batches`` val-image batches (REAL activation
+    distributions, not synthetic noise — the round-2 verdict's re-guard
+    hook) and run the int8 serving path, returning both result dicts."""
+    from ..data.pipeline import build_dataloader, device_batch
     from ..train.loop import validate
 
     loader = build_dataloader(cfg, is_train=False)
     with open(os.path.join(cfg.data.data_root, cfg.data.val_ann)) as f:
         gt = json.load(f)
-    return validate(cfg, state, loader, gt)
+    results = validate(cfg, state, loader, gt)
+    if not int8:
+        return results
+
+    from ..models import build_model, quantize_model
+
+    calib = []
+    for i, batch in enumerate(loader.epoch(0)):
+        if i >= calib_batches:
+            break
+        calib.append(device_batch(batch, cfg.data.pixel_mean,
+                                  cfg.data.pixel_std)["image"])
+    serve_vars = quantize_model(cfg, state.variables, calib)
+    serve_apply = build_model(cfg, quant=True).apply
+    results_int8 = validate(cfg, state, loader, gt, with_loss=False,
+                            apply_fn=serve_apply, variables=serve_vars)
+    return results, results_int8
+
+
+def int8_delta_table(results, results_int8):
+    lines = [f"{'metric':>6} | {'float':>8} | {'int8':>8} | {'delta':>8}"]
+    lines.append("-" * 40)
+    for k in ("AP", "AP50", "AP75", "AP_M", "AP_L", "AR"):
+        if k in results and k in results_int8:
+            lines.append(f"{k:>6} | {results[k]:8.4f} | "
+                         f"{results_int8[k]:8.4f} | "
+                         f"{results_int8[k] - results[k]:+8.4f}")
+    return "\n".join(lines)
 
 
 def comparison_table(results, backbone, input_size):
@@ -136,6 +167,10 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--dry-run", action="store_true",
                         help="run the full path on synthetic fixtures")
+    parser.add_argument("--int8", action="store_true",
+                        help="also PTQ-calibrate on the provided val "
+                             "images and report the float-vs-int8 AP "
+                             "delta (the int8 re-guard for real data)")
     args = parser.parse_args(argv)
 
     from ..config import Config
@@ -159,12 +194,17 @@ def main(argv=None):
             cfg.eval.batch_size = 2
             state = build_state(cfg)
             state = load_into_state(state, ckpt, head_type=args.head)
-            results = run_validation(cfg, state)
+            out = run_validation(cfg, state, int8=args.int8,
+                                 calib_batches=2)
+            results = out[0] if args.int8 else out
             print(comparison_table(results, args.backbone,
                                    cfg.data.input_size))
+            if args.int8:
+                print(int8_delta_table(results, out[1]))
             print("dry-run OK: import -> flip-test validate -> COCOeval "
-                  "all ran end to end")
-            return results
+                  + ("-> int8 PTQ re-validate " if args.int8 else "")
+                  + "all ran end to end")
+            return out
 
     if not args.checkpoint or not args.data_root:
         parser.error("--checkpoint and --data-root are required "
@@ -174,9 +214,12 @@ def main(argv=None):
     cfg.data.val_img_prefix = args.img_dir.rstrip("/") + "/"
     state = build_state(cfg)
     state = load_into_state(state, args.checkpoint, head_type=args.head)
-    results = run_validation(cfg, state)
+    out = run_validation(cfg, state, int8=args.int8)
+    results = out[0] if args.int8 else out
     print(comparison_table(results, args.backbone, cfg.data.input_size))
-    return results
+    if args.int8:
+        print(int8_delta_table(results, out[1]))
+    return out
 
 
 if __name__ == "__main__":
