@@ -96,9 +96,68 @@ class COCOEvaluator:
 
     # -- full COCOeval keypoints protocol -------------------------------
 
-    def evaluate(self) -> Dict[str, float]:
+    def evaluate(self, backend: str = "auto") -> Dict[str, float]:
+        """Evaluate accumulated predictions.
+
+        ``backend``: 'native' runs this module's vectorized protocol;
+        'pycocotools' runs upstream pycocotools exactly as the reference
+        does (/root/reference/utils/metrics.py:145-206), raising if it
+        is not installed; 'auto' (default) prefers pycocotools when
+        importable and falls back to native.  pycocotools is not
+        installable in this build environment — the native path is
+        cross-validated against two independent oracles instead
+        (tests/test_coco_eval_golden.py) — but deployments that have it
+        get the upstream implementation automatically.
+        """
+        if backend not in ("auto", "native", "pycocotools"):
+            raise ValueError(f"unknown backend {backend!r}")
         if self.gt is None:
             raise ValueError("evaluate() needs the GT dataset dict")
+        if backend != "native":
+            try:
+                return self._evaluate_pycocotools()
+            except ImportError:
+                if backend == "pycocotools":
+                    raise
+        return self._evaluate_native()
+
+    def _evaluate_pycocotools(self) -> Dict[str, float]:
+        """Upstream pycocotools path, mirroring the reference's flow:
+        COCO(gt) -> loadRes(predictions) -> COCOeval('keypoints') with
+        our sigmas -> evaluate/accumulate/summarize."""
+        import copy
+
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+
+        if not self.predictions:
+            # upstream loadRes cannot represent an empty result list
+            return self._evaluate_native()
+        coco_gt = COCO()
+        gt = copy.deepcopy(self.gt)
+        gt.setdefault("info", {})
+        gt.setdefault("licenses", [])
+        coco_gt.dataset = gt
+        coco_gt.createIndex()
+        cat_id = (gt["categories"][0]["id"] if gt.get("categories") else 1)
+        results = [{
+            "image_id": int(p["image_id"]),
+            "category_id": cat_id,
+            "keypoints": np.asarray(p["keypoints"], np.float64)
+            .reshape(-1).tolist(),
+            "score": float(p["score"]),
+        } for p in self.predictions]
+        coco_dt = coco_gt.loadRes(results)
+        e = COCOeval(coco_gt, coco_dt, iouType="keypoints")
+        e.params.kpt_oks_sigmas = np.asarray(self.sigmas, np.float64)
+        e.evaluate()
+        e.accumulate()
+        e.summarize()
+        names = ["AP", "AP50", "AP75", "AP_M", "AP_L",
+                 "AR", "AR50", "AR75", "AR_M", "AR_L"]
+        return {n: float(v) for n, v in zip(names, e.stats)}
+
+    def _evaluate_native(self) -> Dict[str, float]:
         gts_by_img = defaultdict(list)
         for ann in self.gt["annotations"]:
             g = dict(ann)

@@ -263,3 +263,70 @@ class TestGoldenScenarios:
                 continue
             ours, golden = run_both(gts, dets)
             assert_match(ours, golden)
+
+
+class TestPycocotoolsBackend:
+    """COCOEvaluator.evaluate(backend=...) — the optional upstream
+    pycocotools execution path.  pycocotools is not installed here, so
+    the vendored upstream implementation (tests/vendor_cocoeval.py)
+    doubles as a stand-in package: the routing, the result-format
+    translation, and the stats mapping are all exercised for real."""
+
+    def _install_fake_pycocotools(self, monkeypatch):
+        import sys
+        import types
+
+        from . import vendor_cocoeval as vc
+
+        pkg = types.ModuleType("pycocotools")
+        mod_coco = types.ModuleType("pycocotools.coco")
+        mod_coco.COCO = vc.COCO
+        mod_eval = types.ModuleType("pycocotools.cocoeval")
+        mod_eval.COCOeval = vc.COCOeval
+        pkg.coco = mod_coco
+        pkg.cocoeval = mod_eval
+        monkeypatch.setitem(sys.modules, "pycocotools", pkg)
+        monkeypatch.setitem(sys.modules, "pycocotools.coco", mod_coco)
+        monkeypatch.setitem(sys.modules, "pycocotools.cocoeval", mod_eval)
+
+    def test_auto_prefers_pycocotools_and_matches_native(self, monkeypatch):
+        self._install_fake_pycocotools(monkeypatch)
+        gt = make_gt(1, 1, 100, 100, 25, area=50.0**2)
+        gt2 = make_gt(2, 2, 80, 80, 30, area=70.0**2)
+        dets = [make_det(gt, 0.9, dx=3.0), make_det(gt2, 0.7, dx=10.0)]
+        dataset = {
+            "images": [{"id": 1}, {"id": 2}],
+            "annotations": [gt, gt2],
+            "categories": [{"id": 1, "name": "person"}],
+        }
+        ev = COCOEvaluator(SIGMAS, gt_dataset=dataset)
+        ev.predictions = [
+            {"image_id": d["image_id"],
+             "keypoints": np.asarray(d["keypoints"], np.float64),
+             "score": d["score"]} for d in dets]
+        native = ev.evaluate(backend="native")
+        upstream = ev.evaluate(backend="pycocotools")
+        auto = ev.evaluate()  # auto -> routes to the fake pycocotools
+        for k in native:
+            assert upstream[k] == pytest.approx(native[k], abs=1e-9), k
+            assert auto[k] == pytest.approx(upstream[k], abs=1e-12), k
+
+    def test_pycocotools_backend_raises_without_install(self):
+        ev = COCOEvaluator(SIGMAS, gt_dataset={
+            "images": [], "annotations": [], "categories": []})
+        ev.predictions = [{"image_id": 1,
+                           "keypoints": np.zeros((17, 3)), "score": 0.5}]
+        with pytest.raises(ImportError):
+            ev.evaluate(backend="pycocotools")
+
+    def test_auto_falls_back_to_native_without_install(self):
+        gt = make_gt(1, 1, 100, 100, 25, area=50.0**2)
+        dataset = {"images": [{"id": 1}], "annotations": [gt],
+                   "categories": [{"id": 1, "name": "person"}]}
+        ev = COCOEvaluator(SIGMAS, gt_dataset=dataset)
+        d = make_det(gt, 0.9)
+        ev.predictions = [{"image_id": 1,
+                           "keypoints": np.asarray(d["keypoints"]),
+                           "score": d["score"]}]
+        assert ev.evaluate()["AP"] == pytest.approx(
+            ev.evaluate(backend="native")["AP"], abs=1e-12)
