@@ -156,6 +156,86 @@ class PoseInference:
         coords, scores = self._jit_pipeline(frames_j, centers_j, scales_j)
         return np.asarray(coords), np.asarray(scores)
 
+    def predict_stream(self, batches, max_in_flight: int = 2):
+        """Overlapped host/device serving: consume loader batches while
+        the device computes (round-2 verdict item 6).
+
+        ``batches`` is an iterator of dicts with ``image_u8`` (B, H, W, 3)
+        uint8 crops plus ``center``/``scale`` (the DataLoader eval
+        contract).  Each step dispatches asynchronously — JAX returns
+        futures — and results are materialized ``max_in_flight`` batches
+        behind the dispatch front, so the host's JPEG-decode/augment work
+        for batch t+1 and the H2D copy overlap the device compute of
+        batch t.  The loader's own producer thread (data/pipeline.py
+        DataLoader) prefetches ahead of this loop, giving the classic
+        3-stage pipeline: host produce | transfer+dispatch | device
+        compute.
+
+        Yields (coords (B, K, 2) source-space, scores (B, K)) numpy
+        arrays per batch, in order.
+        """
+        import collections
+
+        pending: "collections.deque" = collections.deque()
+        for batch in batches:
+            self._maybe_calibrate_crops(batch)
+            out = self._crops_pipeline_jit()(
+                self._variables,
+                jnp.asarray(batch["image_u8"]),
+                jnp.asarray(batch["center"]),
+                jnp.asarray(batch["scale"]))
+            pending.append(out)
+            if len(pending) > max_in_flight:
+                c, s = pending.popleft()
+                yield np.asarray(c), np.asarray(s)
+        while pending:
+            c, s = pending.popleft()
+            yield np.asarray(c), np.asarray(s)
+
+    def _crops_pipeline_jit(self):
+        """(Re)build the jitted u8-crops serving fn against the CURRENT
+        apply_fn (calibration swaps it mid-stream on the first batch)."""
+        if hasattr(self, "_jit_crops_pipeline"):
+            return self._jit_crops_pipeline
+
+        cfg = self.cfg
+        W, H = cfg.data.input_size
+        hm_w, hm_h = cfg.data.heatmap_size
+        mean = jnp.asarray(cfg.data.pixel_mean, jnp.float32) * 255.0
+        std = jnp.asarray(cfg.data.pixel_std, jnp.float32) * 255.0
+        flip_idx = jnp.asarray(self.schema.flip_index())
+        apply_fn = self._apply_fn
+
+        def crops_pipeline(variables, crops_u8, centers, scales):
+            crops = (crops_u8.astype(jnp.float32) - mean) / std
+            coords, scores = flip_inference(
+                apply_fn, variables, crops, flip_idx,
+                cfg.model.head_type, cfg.eval.decode,
+                shift_heatmap=cfg.eval.shift_heatmap,
+                flip=cfg.eval.flip_test)
+            coords = coords * jnp.asarray([W / hm_w, H / hm_h],
+                                          jnp.float32)
+            coords = decode_ops.transform_preds(coords, centers,
+                                                scales, (W, H))
+            return coords, scores
+
+        self._jit_crops_pipeline = jax.jit(crops_pipeline)
+        return self._jit_crops_pipeline
+
+    def _maybe_calibrate_crops(self, batch) -> None:
+        if not self.quantize or getattr(self, "_quant_installed", False):
+            return
+        cfg = self.cfg
+        mean = jnp.asarray(cfg.data.pixel_mean, jnp.float32) * 255.0
+        std = jnp.asarray(cfg.data.pixel_std, jnp.float32) * 255.0
+        crops = (jnp.asarray(batch["image_u8"]).astype(jnp.float32)
+                 - mean) / std
+        self._install_quant([crops])
+        # the quantized apply_fn replaces the float one; drop the jit
+        # built against the old closure
+        if hasattr(self, "_jit_crops_pipeline"):
+            del self._jit_crops_pipeline
+
     def predict(self, image: np.ndarray, bbox: Optional[Sequence] = None
                 ) -> Tuple[np.ndarray, np.ndarray]:
         """Single RGB image + optional xyxy bbox (defaults to full image)."""

@@ -126,6 +126,33 @@ def main():
 
     report("back-projection", chained_time(backproject, coords0))
 
+    # Cumulative decomposition (PROBE_CUMULATIVE=1): [backbone],
+    # [backbone+head], [backbone+head+decode], each ONE jit — unlike the
+    # isolated rows above, these keep the real producer/consumer layout
+    # relationships, which is where cross-stage costs (e.g. a relayout
+    # between the Pallas W-MSA output and the head convs) show up.
+    if os.environ.get("PROBE_CUMULATIVE", "0") == "1":
+        def bb_only(c):
+            return model.apply(variables, c, False,
+                               method=lambda m, x, t: m.backbone(
+                                   x.astype(m.dtype), t))
+
+        def bb_head(c):
+            return model.apply(variables, c, False)["heatmaps"]
+
+        def bb_head_decode(c):
+            return decode_outputs(model.apply(variables, c, False),
+                                  "fusion")[0]
+
+        t_bb = chained_time(bb_only, crops)
+        t_bh = chained_time(bb_head, crops)
+        t_bhd = chained_time(bb_head_decode, crops)
+        report("cumulative backbone", t_bb)
+        report("cumulative +head", t_bh)
+        report("cumulative +decode", t_bhd)
+        report("  delta head", t_bh - t_bb)
+        report("  delta decode", t_bhd - t_bh)
+
 
 if __name__ == "__main__":
     main()

@@ -268,3 +268,31 @@ def test_multi_scale_training_example():
                      verbose=False)
     assert len({s for s, _ in history}) == 3
     assert all(np.isfinite(l) for _, l in history)
+
+
+def test_predict_stream_overlap(setup):
+    """predict_stream (overlapped host/device serving) must yield the
+    same results as running its jitted pipeline synchronously, batch for
+    batch, in order."""
+    import jax.numpy as jnp
+
+    from infantposeestimation_gaussianbias_tpu.inference import PoseInference
+
+    cfg, _, _, val_loader, _ = setup
+    infer = PoseInference(cfg)
+
+    batches = list(val_loader.epoch(0))
+    streamed = list(infer.predict_stream(iter(batches), max_in_flight=2))
+    assert len(streamed) == len(batches)
+
+    fn = infer._crops_pipeline_jit()
+    for batch, (coords, scores) in zip(batches, streamed):
+        ref_c, ref_s = fn(infer._variables,
+                          jnp.asarray(batch["image_u8"]),
+                          jnp.asarray(batch["center"]),
+                          jnp.asarray(batch["scale"]))
+        np.testing.assert_allclose(coords, np.asarray(ref_c),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(scores, np.asarray(ref_s),
+                                   rtol=1e-5, atol=1e-5)
+        assert coords.shape == (8, 17, 2) and scores.shape == (8, 17)
