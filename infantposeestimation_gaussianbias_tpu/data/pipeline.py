@@ -189,6 +189,52 @@ def build_dataloader(cfg: Config, is_train: bool,
                       drop_last=is_train)
 
 
+def prefetch_to_device(batches, size: int = 2, keys=None):
+    """Device-transfer prefetch stage: a thread that device_puts up to
+    ``size`` upcoming batches ahead of the consumer.
+
+    Completes the serving pipeline's 3 stages (host produce | H2D
+    transfer | device compute): without it the H2D copy runs
+    synchronously on the consumer thread and serializes with dispatch.
+    The transfer thread spends its time in IO-wait, so it overlaps with
+    the loader's CPU work even on a single-core host.
+
+    ``keys`` optionally restricts which batch entries are transferred
+    (the rest pass through untouched).
+    """
+    import jax.numpy as jnp
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
+
+    def transfer():
+        try:
+            for batch in batches:
+                if stop.is_set():
+                    return
+                out = dict(batch)
+                for k, v in batch.items():
+                    if keys is None or k in keys:
+                        out[k] = jnp.asarray(v)
+                q.put(out)
+            q.put(None)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=transfer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def device_batch(batch: Dict[str, np.ndarray], mean, std):
     """Normalize a uint8 crop batch on device: (x/255 - mean)/std, plus
     passthrough of the label arrays. Returns jnp arrays dict."""

@@ -162,28 +162,31 @@ class PoseInference:
 
         ``batches`` is an iterator of dicts with ``image_u8`` (B, H, W, 3)
         uint8 crops plus ``center``/``scale`` (the DataLoader eval
-        contract).  Each step dispatches asynchronously — JAX returns
-        futures — and results are materialized ``max_in_flight`` batches
-        behind the dispatch front, so the host's JPEG-decode/augment work
-        for batch t+1 and the H2D copy overlap the device compute of
-        batch t.  The loader's own producer thread (data/pipeline.py
-        DataLoader) prefetches ahead of this loop, giving the classic
-        3-stage pipeline: host produce | transfer+dispatch | device
-        compute.
+        contract).  Three overlapped stages: the loader's producer
+        thread decodes and augments ahead (data/pipeline.py DataLoader);
+        a transfer thread device_puts up to ``max_in_flight`` batches
+        ahead (prefetch_to_device — the H2D copy waits on IO off the
+        consumer thread); and each compute step dispatches
+        asynchronously with results materialized ``max_in_flight``
+        batches behind the front.
 
         Yields (coords (B, K, 2) source-space, scores (B, K)) numpy
         arrays per batch, in order.
         """
         import collections
 
+        from .data.pipeline import prefetch_to_device
+
         pending: "collections.deque" = collections.deque()
-        for batch in batches:
+        staged = prefetch_to_device(batches, size=max_in_flight,
+                                    keys=("image_u8", "center", "scale"))
+        for batch in staged:
             self._maybe_calibrate_crops(batch)
             out = self._crops_pipeline_jit()(
                 self._variables,
-                jnp.asarray(batch["image_u8"]),
-                jnp.asarray(batch["center"]),
-                jnp.asarray(batch["scale"]))
+                batch["image_u8"],
+                batch["center"],
+                batch["scale"])
             pending.append(out)
             if len(pending) > max_in_flight:
                 c, s = pending.popleft()
