@@ -189,7 +189,7 @@ def build_dataloader(cfg: Config, is_train: bool,
                       drop_last=is_train)
 
 
-def prefetch_to_device(batches, size: int = 2, keys=None):
+def prefetch_to_device(batches, size: int = 2, keys=None, place=None):
     """Device-transfer prefetch stage: a thread that device_puts up to
     ``size`` upcoming batches ahead of the consumer.
 
@@ -200,10 +200,14 @@ def prefetch_to_device(batches, size: int = 2, keys=None):
     the loader's CPU work even on a single-core host.
 
     ``keys`` optionally restricts which batch entries are transferred
-    (the rest pass through untouched).
+    (the rest pass through untouched).  ``place`` overrides the transfer
+    of each selected entry (default ``jnp.asarray``) — e.g. a mesh
+    serving consumer passes a device_put with a batch NamedSharding.
     """
     import jax.numpy as jnp
 
+    if place is None:
+        place = jnp.asarray
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = threading.Event()
 
@@ -215,7 +219,7 @@ def prefetch_to_device(batches, size: int = 2, keys=None):
                 out = dict(batch)
                 for k, v in batch.items():
                     if keys is None or k in keys:
-                        out[k] = jnp.asarray(v)
+                        out[k] = place(v)
                 q.put(out)
             q.put(None)
         except BaseException as e:  # propagate to the consumer

@@ -42,14 +42,26 @@ class PoseInference:
     Float serving uses BN-fold by default when the architecture supports
     it (models/fold.py — exact transform, removes the stand-alone BN ops
     whose layout overhead dominates the stem); ``fold=False`` disables.
+
+    ``mesh`` (a ('data','model') jax.sharding.Mesh from
+    parallel.create_mesh) serves across chips: batches are sharded over
+    the 'data' axis (padded to a multiple of it and trimmed on the way
+    out, so ragged final batches work), parameters are replicated — or
+    sharded over 'model' with ``tensor_parallel=True`` — and XLA inserts
+    the collectives.  The reference has no multi-device serving at all
+    (/root/reference/inference.py:24-284 is strictly single-GPU);
+    single-controller scope (one host driving all chips).
     """
 
     def __init__(self, cfg: Config, checkpoint: Optional[str] = None,
                  state=None, quantize: bool = False,
                  calibration_crops: Optional[np.ndarray] = None,
-                 fold: Optional[bool] = None):
+                 fold: Optional[bool] = None, mesh=None,
+                 tensor_parallel: bool = False):
         self.cfg = cfg
         self.schema = cfg.data.keypoint_schema
+        self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
         model = build_model(cfg)
         if state is None:
             state = create_train_state(cfg, model,
@@ -78,8 +90,43 @@ class PoseInference:
                 from .models import fold_variables
 
                 self._variables = fold_variables(state.variables)
-                self._apply_fn = build_model(cfg, fold=True).apply
+                self._apply_fn = build_model(cfg, fold=True,
+                                             mesh=mesh).apply
+            elif mesh is not None:
+                # thread the mesh into the unfolded float forward too
+                # (shard_map'd Pallas W-MSA on hrformer backbones)
+                self._apply_fn = build_model(cfg, mesh=mesh).apply
+        self._shard_variables()
         self._jit_pipeline = jax.jit(self._pipeline)
+
+    # -- mesh serving -------------------------------------------------------
+
+    def _shard_variables(self) -> None:
+        """Place serving variables onto the mesh (replicated, or 'model'-
+        sharded kernels under tensor_parallel); no-op without a mesh."""
+        if self.mesh is not None:
+            from .parallel import shard_params
+
+            self._variables = shard_params(self._variables, self.mesh,
+                                           self.tensor_parallel)
+
+    def _data_multiple(self) -> int:
+        return int(self.mesh.shape["data"]) if self.mesh is not None else 1
+
+    def _place_rows(self, x):
+        """Pad a batch-leading array to a multiple of the 'data' axis and
+        commit it with batch sharding (plain jnp.asarray without a mesh).
+        Pad rows repeat the last row; callers trim outputs to the
+        original count."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from .parallel import batch_sharding
+
+        x = np.asarray(x)
+        r = (-x.shape[0]) % self._data_multiple()
+        if r:
+            x = np.concatenate([x, np.repeat(x[-1:], r, axis=0)], axis=0)
+        return jax.device_put(x, batch_sharding(self.mesh))
 
     # -- int8 serving -------------------------------------------------------
 
@@ -88,7 +135,9 @@ class PoseInference:
 
         self._variables = quantize_model(self.cfg, self.state.variables,
                                          calib_crops)
-        self._apply_fn = build_model(self.cfg, quant=True).apply
+        self._apply_fn = build_model(self.cfg, quant=True,
+                                     mesh=self.mesh).apply
+        self._shard_variables()
         self._jit_pipeline = jax.jit(self._pipeline)
         self._quant_installed = True
 
@@ -147,14 +196,15 @@ class PoseInference:
         Returns keypoints (B, K, 2) in frame coordinates and scores (B, K).
         """
         bboxes = np.asarray(bboxes, np.float32)
+        n = bboxes.shape[0]
         centers = (bboxes[:, :2] + bboxes[:, 2:]) / 2.0
         scales = (bboxes[:, 2:] - bboxes[:, :2]) * self.cfg.data.bbox_padding
-        frames_j = jnp.asarray(frames, jnp.float32)
-        centers_j = jnp.asarray(centers)
-        scales_j = jnp.asarray(scales)
+        frames_j = self._place_rows(np.asarray(frames, np.float32))
+        centers_j = self._place_rows(centers)
+        scales_j = self._place_rows(scales)
         self._maybe_calibrate(frames_j, centers_j, scales_j)
         coords, scores = self._jit_pipeline(frames_j, centers_j, scales_j)
-        return np.asarray(coords), np.asarray(scores)
+        return np.asarray(coords)[:n], np.asarray(scores)[:n]
 
     def predict_stream(self, batches, max_in_flight: int = 2):
         """Overlapped host/device serving: consume loader batches while
@@ -177,9 +227,17 @@ class PoseInference:
 
         from .data.pipeline import prefetch_to_device
 
+        def annotate(it):
+            for b in it:
+                b = dict(b)
+                b["_orig_n"] = int(np.asarray(b["image_u8"]).shape[0])
+                yield b
+
         pending: "collections.deque" = collections.deque()
-        staged = prefetch_to_device(batches, size=max_in_flight,
-                                    keys=("image_u8", "center", "scale"))
+        place = self._place_rows if self.mesh is not None else None
+        staged = prefetch_to_device(annotate(batches), size=max_in_flight,
+                                    keys=("image_u8", "center", "scale"),
+                                    place=place)
         for batch in staged:
             self._maybe_calibrate_crops(batch)
             out = self._crops_pipeline_jit()(
@@ -187,13 +245,13 @@ class PoseInference:
                 batch["image_u8"],
                 batch["center"],
                 batch["scale"])
-            pending.append(out)
+            pending.append((out, batch["_orig_n"]))
             if len(pending) > max_in_flight:
-                c, s = pending.popleft()
-                yield np.asarray(c), np.asarray(s)
+                (c, s), n = pending.popleft()
+                yield np.asarray(c)[:n], np.asarray(s)[:n]
         while pending:
-            c, s = pending.popleft()
-            yield np.asarray(c), np.asarray(s)
+            (c, s), n = pending.popleft()
+            yield np.asarray(c)[:n], np.asarray(s)[:n]
 
     def _crops_pipeline_jit(self):
         """(Re)build the jitted u8-crops serving fn against the CURRENT
