@@ -37,14 +37,28 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="serve in int8 (PTQ, calibrated on the first "
                              "batch; hrnet conv-PTQ or hrformer Dense-PTQ)")
+    parser.add_argument("--mesh", type=int, nargs="?", const=0, default=None,
+                        metavar="MODEL_AXIS",
+                        help="serve over all local devices on a "
+                             "('data','model') mesh; optional value = model-"
+                             "axis size (default 1: pure data parallel)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
     import cv2
 
+    mesh = None
+    tensor_parallel = False
+    if args.mesh is not None:
+        from ..parallel import create_mesh
+
+        model_axis = max(1, args.mesh)
+        mesh = create_mesh(data_axis=0, model_axis=model_axis)
+        tensor_parallel = model_axis > 1
     infer = PoseInference(cfg, checkpoint=args.checkpoint,
                           quantize=args.int8,
-                          fold=False if args.no_fold else None)
+                          fold=False if args.no_fold else None,
+                          mesh=mesh, tensor_parallel=tensor_parallel)
     schema = cfg.data.keypoint_schema
 
     if args.video or args.input.lower().endswith((".mp4", ".avi", ".mov")):

@@ -71,6 +71,17 @@ def test_cli_infer_image(disk_dataset, tmp_path, capsys):
     assert "nose" in printed
 
 
+def test_cli_infer_image_mesh(disk_dataset, tmp_path, capsys):
+    """--mesh serves over all (virtual) devices: data-parallel by
+    default, model axis when a value is given."""
+    from infantposeestimation_gaussianbias_tpu.cli.infer import main
+
+    root, synth = disk_dataset
+    img = os.path.join(root, "val2017", synth["images"][0]["file_name"])
+    main(COMMON + ["--input", img, "--mesh"])
+    assert "nose" in capsys.readouterr().out
+
+
 def test_cli_infer_directory(disk_dataset, capsys):
     from infantposeestimation_gaussianbias_tpu.cli.infer import main
 
