@@ -138,6 +138,36 @@ def timed(fn, args, repeats: int) -> float:
     return float(np.median(ts))
 
 
+def latency_sweep():
+    """BENCH_LATENCY=1: per-batch serving latency at small batch sizes
+    (the real-time/video regime the reference serves one crop at a time,
+    /root/reference/inference.py:217-236).  Steady-state device latency
+    via the same two-point chained protocol (host dispatch overhead is
+    tunnel-dependent and excluded, as in the throughput metric); one
+    JSON line per (batch, precision)."""
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    backbone = os.environ.get("BENCH_MODEL", "hrnet_w32")
+    batches = [int(b) for b in os.environ.get(
+        "BENCH_LATENCY_BATCHES", "1,4,16,64").split(",")]
+    for bs in batches:
+        chain = max(16, min(128, 512 // bs))
+        for quant_ in (False, True):
+            chained, args = build(bs, quant=quant_, fold=not quant_,
+                                  backbone=backbone)
+            t1 = timed(chained(1), args, repeats)
+            tk = timed(chained(chain), args, repeats)
+            per_iter = (tk - t1) / (chain - 1)
+            print(json.dumps({
+                "metric": "serving_latency_ms_per_batch",
+                "batch_size": bs,
+                "value": round(per_iter * 1e3, 3),
+                "unit": "ms",
+                "crops_per_sec": round(bs / per_iter, 1),
+                "precision": "int8-ptq" if quant_ else "bf16-bnfold",
+                "backbone": backbone,
+            }), flush=True)
+
+
 def main():
     bs = int(os.environ.get("BENCH_BATCH", "256"))
     chain = int(os.environ.get("BENCH_CHAIN", "16"))
@@ -145,6 +175,9 @@ def main():
     quant = os.environ.get("BENCH_QUANT", "1") == "1"
     fold = os.environ.get("BENCH_FOLD", "1") == "1" and not quant
     backbone = os.environ.get("BENCH_MODEL", "hrnet_w32")
+    if os.environ.get("BENCH_LATENCY", "0") == "1":
+        latency_sweep()
+        return
 
     def measure(quant_, fold_):
         chained, args = build(bs, quant=quant_, fold=fold_,
