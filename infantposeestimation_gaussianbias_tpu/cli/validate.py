@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--no-fold", action="store_true",
                         help="disable the (exact) BN-fold serving "
                              "transform for the float path")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard eval batches over all local devices "
+                             "(data-parallel evaluation)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
     setup_logging()
@@ -64,8 +67,19 @@ def main(argv=None):
         serve_vars = fold_variables(state.variables)
         serve_apply = build_model(cfg, fold=True).apply
 
+    mesh = None
+    if args.mesh:
+        from ..parallel import create_mesh
+
+        n_dev = len(jax.devices())
+        if cfg.eval.batch_size % n_dev:
+            raise SystemExit(
+                f"--mesh needs eval.batch_size ({cfg.eval.batch_size}) "
+                f"divisible by the device count ({n_dev})")
+        mesh = create_mesh(data_axis=0, model_axis=1)
     results = validate(cfg, state, loader, gt, with_loss=with_loss,
-                       apply_fn=serve_apply, variables=serve_vars)
+                       apply_fn=serve_apply, variables=serve_vars,
+                       mesh=mesh)
     for k, v in results.items():
         print(f"{k:>6}: {v:.4f}")
 

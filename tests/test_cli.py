@@ -41,6 +41,21 @@ def test_cli_validate(disk_dataset, capsys):
     assert "AP" in out and "AR" in out
 
 
+def test_cli_validate_mesh(disk_dataset, capsys):
+    """--mesh validates with batches sharded over the 8 virtual devices
+    and rejects a batch size the device count does not divide."""
+    from infantposeestimation_gaussianbias_tpu.cli.validate import main
+
+    root, _ = disk_dataset
+    base = ["--set", "model.backbone=litehrnet", "model.head_type=heatmap",
+            "model.compute_dtype=float32", "data.input_size=64,64",
+            "data.heatmap_size=16,16", f"data.data_root={root}"]
+    main(base + ["eval.batch_size=8", "--mesh"])
+    assert "AP" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="divisible"):
+        main(base + ["eval.batch_size=6", "--mesh"])
+
+
 def test_cli_validate_hrnet_fold_and_int8(disk_dataset, capsys):
     """hrnet validate serves BN-folded by default; --int8 calibrates on
     the first val batch and serves the PTQ path."""

@@ -224,3 +224,33 @@ def test_loader_propagates_errors(synth):
     loader = DataLoader(ds, batch_size=4, shuffle=False)
     with pytest.raises(ValueError, match="Failed to load image"):
         next(loader.epoch(0))
+
+
+def test_prefetch_to_device_transfers_and_propagates_errors():
+    """The H2D prefetch stage must transfer selected keys, pass others
+    through, preserve order, and re-raise producer exceptions in the
+    consumer thread."""
+    import jax.numpy as jnp
+
+    from infantposeestimation_gaussianbias_tpu.data.pipeline import (
+        prefetch_to_device,
+    )
+
+    batches = [{"image_u8": np.full((2, 4, 4, 3), i, np.uint8),
+                "meta": f"b{i}"} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), size=2,
+                                  keys=("image_u8",)))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert isinstance(b["image_u8"], jnp.ndarray)
+        assert int(b["image_u8"][0, 0, 0, 0]) == i  # order preserved
+        assert b["meta"] == f"b{i}"  # passthrough untouched
+
+    def bad():
+        yield batches[0]
+        raise RuntimeError("producer blew up")
+
+    it = prefetch_to_device(bad(), size=2, keys=("image_u8",))
+    next(it)
+    with pytest.raises(RuntimeError, match="producer blew up"):
+        list(it)
