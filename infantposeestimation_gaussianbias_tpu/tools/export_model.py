@@ -23,13 +23,17 @@ import jax.numpy as jnp
 
 
 def build_serving_fn(cfg, state, frame_hw: Tuple[int, int] = (512, 512),
-                     fold: Optional[bool] = None):
+                     fold: Optional[bool] = None, quantize: bool = False,
+                     calib_crops=None):
     """(frames u8 (B,H,W,3), centers (B,2), scales (B,2)) ->
     (keypoints (B,K,2) frame coords, scores (B,K)).
 
     ``fold`` bakes inference BN into the conv weights before export
     (models/fold.py — exact); default: fold whenever the architecture
-    supports it."""
+    supports it.  ``quantize`` exports the int8 PTQ serving path instead
+    (ops/quant.py), calibrated on ``calib_crops`` (normalized
+    (N, H, W, 3)) — the exported artifact carries the int8 weights and
+    frozen activation scales."""
     from ..models import build_model, decode_outputs, flip_inference
     from ..ops import affine, decode
 
@@ -39,6 +43,15 @@ def build_serving_fn(cfg, state, frame_hw: Tuple[int, int] = (512, 512),
     variables = state.variables
     apply_fn = state.apply_fn
 
+    if quantize:
+        from ..models import quantize_model
+
+        if calib_crops is None:
+            raise ValueError("int8 export needs calib_crops")
+        variables = quantize_model(cfg, variables,
+                                   [jnp.asarray(calib_crops)])
+        apply_fn = build_model(cfg, quant=True).apply
+        fold = False  # BN already folded into the int8 epilogues
     if fold is None:
         fold = (cfg.model.backbone.startswith(("hrnet", "hrformer"))
                 and cfg.model.head_type in ("fusion", "heatmap")
@@ -64,10 +77,12 @@ def build_serving_fn(cfg, state, frame_hw: Tuple[int, int] = (512, 512),
     return serve
 
 
-def export_pipeline(cfg, state, batch: int, frame_hw=(512, 512)) -> bytes:
+def export_pipeline(cfg, state, batch: int, frame_hw=(512, 512),
+                    quantize: bool = False, calib_crops=None) -> bytes:
     from jax import export as jexport
 
-    serve = build_serving_fn(cfg, state, frame_hw)
+    serve = build_serving_fn(cfg, state, frame_hw, quantize=quantize,
+                             calib_crops=calib_crops)
     fh, fw = frame_hw
     args = (
         jax.ShapeDtypeStruct((batch, fh, fw, 3), jnp.uint8),
@@ -100,6 +115,10 @@ def main(argv=None):
     p.add_argument("--frame-size", type=int, nargs=2, default=(512, 512),
                    metavar=("H", "W"))
     p.add_argument("--output", required=True)
+    p.add_argument("--int8", action="store_true",
+                   help="export the int8 PTQ serving path; calibrates "
+                        "on the first val batch when data.data_root is "
+                        "configured, else on random crops (warned)")
     args = p.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -109,7 +128,29 @@ def main(argv=None):
         mgr = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
         state, _ = mgr.restore(state, os.path.basename(args.checkpoint))
 
-    blob = export_pipeline(cfg, state, args.batch, tuple(args.frame_size))
+    calib = None
+    if args.int8:
+        W, H = cfg.data.input_size
+        try:
+            from ..data.pipeline import build_dataloader, device_batch
+
+            loader = build_dataloader(cfg, is_train=False)
+            first = next(iter(loader.epoch(0)))
+            calib = device_batch(first, cfg.data.pixel_mean,
+                                 cfg.data.pixel_std)["image"]
+        except Exception as e:
+            import warnings
+
+            warnings.warn(
+                f"no val data for int8 calibration ({e}); calibrating on "
+                "RANDOM crops — activation scales will not match real "
+                "images. Configure data.data_root for a faithful export.")
+            rng = np.random.RandomState(0)
+            calib = jnp.asarray(
+                rng.randn(64, H, W, 3).astype(np.float32))
+
+    blob = export_pipeline(cfg, state, args.batch, tuple(args.frame_size),
+                           quantize=args.int8, calib_crops=calib)
     with open(args.output, "wb") as f:
         f.write(blob)
     print(f"exported {len(blob) / 1e6:.1f} MB -> {args.output}")

@@ -191,3 +191,52 @@ def test_export_roundtrip(tmp_path):
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_export_int8_roundtrip():
+    """int8 PTQ export: the artifact carries the quantized weights and
+    frozen activation scales; deserialized output matches the live int8
+    pipeline bit for bit given the same calibration."""
+    import jax
+    import jax.numpy as jnp
+
+    from infantposeestimation_gaussianbias_tpu.config import Config
+    from infantposeestimation_gaussianbias_tpu.models import build_model
+    from infantposeestimation_gaussianbias_tpu.tools.export_model import (
+        build_serving_fn,
+        export_pipeline,
+        load_pipeline,
+    )
+    from infantposeestimation_gaussianbias_tpu.train.step import (
+        create_train_state,
+    )
+
+    cfg = Config()
+    cfg.model.backbone = "hrnet_w32"
+    cfg.model.head_type = "fusion"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.input_size = (48, 64)
+    cfg.data.heatmap_size = (12, 16)
+    cfg.eval.flip_test = False
+
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(2))
+    rng = np.random.RandomState(1)
+    calib = rng.randn(4, 64, 48, 3).astype(np.float32)
+    blob = export_pipeline(cfg, state, batch=2, frame_hw=(96, 96),
+                           quantize=True, calib_crops=calib)
+
+    frames = jnp.asarray(rng.randint(0, 255, (2, 96, 96, 3))
+                         .astype(np.uint8))
+    centers = jnp.asarray(rng.uniform(30, 60, (2, 2)).astype(np.float32))
+    scales = jnp.asarray(np.full((2, 2), 64.0, np.float32))
+
+    restored = load_pipeline(blob)
+    k1, s1 = restored.call(frames, centers, scales)
+    serve = build_serving_fn(cfg, state, (96, 96), quantize=True,
+                             calib_crops=calib)
+    k2, s2 = jax.jit(serve)(frames, centers, scales)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-5)
