@@ -307,11 +307,16 @@ class PoseInference:
         return kpts[0], scores[0]
 
     def predict_directory(self, directory: str,
-                          exts=(".jpg", ".jpeg", ".png")) -> Dict[str, Dict]:
-        """Run over every image in a directory (ref inference.py dir mode)."""
+                          exts=(".jpg", ".jpeg", ".png"),
+                          batch_size: int = 32) -> Dict[str, Dict]:
+        """Run over every image in a directory (ref inference.py dir
+        mode — which predicts one image at a time; here same-shape
+        images batch together up to ``batch_size``, the common case for
+        extracted video frames)."""
         import cv2
 
         results = {}
+        groups: Dict[tuple, list] = {}
         for name in sorted(os.listdir(directory)):
             if not name.lower().endswith(exts):
                 continue
@@ -319,9 +324,19 @@ class PoseInference:
             if img is None:
                 continue
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            kpts, scores = self.predict(img)
-            results[name] = {"keypoints": kpts, "scores": scores}
-        return results
+            groups.setdefault(img.shape, []).append((name, img))
+
+        for shape, items in groups.items():
+            h, w = shape[:2]
+            bbox = np.array([0, 0, w, h], np.float32)
+            for i in range(0, len(items), batch_size):
+                chunk = items[i:i + batch_size]
+                frames = np.stack([im for _, im in chunk])
+                kpts, scores = self.predict_batch(
+                    frames, np.tile(bbox, (len(chunk), 1)))
+                for (name, _), k, s in zip(chunk, kpts, scores):
+                    results[name] = {"keypoints": k, "scores": s}
+        return {name: results[name] for name in sorted(results)}
 
     def predict_video(self, video_path: str,
                       temporal_smooth: Optional[bool] = None,
