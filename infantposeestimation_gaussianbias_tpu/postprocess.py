@@ -25,6 +25,59 @@ def filter_low_confidence(preds: jnp.ndarray, maxvals: jnp.ndarray,
     return preds * mask[..., None], mask
 
 
+class StreamingSmoother:
+    """Stateful per-frame One-Euro smoother for LIVE pose streams.
+
+    The batch smoothers (ops/decode.py temporal_smooth, matching the
+    reference's offline utils/postprocess.py:187-223) need the whole
+    trajectory; a live stream gets one frame at a time.  This carries
+    the filter state across calls and reproduces
+    ops/decode.one_euro_smooth exactly when fed a trajectory frame by
+    frame (tested).  Host-side numpy: K x 2 math per frame is far below
+    dispatch cost.
+
+    >>> smoother = StreamingSmoother(fps=30.0)
+    >>> for coords, scores in infer.predict_stream(loader):
+    ...     smoothed = smoother(coords[0])
+    """
+
+    def __init__(self, fps: float = 30.0, min_cutoff: float = 1.0,
+                 beta: float = 0.007, d_cutoff: float = 1.0):
+        import numpy as np
+
+        self._np = np
+        self.dt = 1.0 / fps
+        self.min_cutoff = min_cutoff
+        self.beta = beta
+        self.d_cutoff = d_cutoff
+        self._x = None
+        self._dx = None
+
+    def _alpha(self, cutoff):
+        tau = 1.0 / (2.0 * self._np.pi * cutoff)
+        return 1.0 / (1.0 + tau / self.dt)
+
+    def __call__(self, coords):
+        """One frame (K, 2) in, smoothed (K, 2) out (float32 numpy)."""
+        np = self._np
+        x = np.asarray(coords, np.float32)
+        if self._x is None:
+            self._x = x
+            self._dx = np.zeros_like(x)
+            return x
+        dx = (x - self._x) / self.dt
+        a_d = self._alpha(self.d_cutoff)
+        dx_hat = a_d * dx + (1 - a_d) * self._dx
+        cutoff = self.min_cutoff + self.beta * np.abs(dx_hat)
+        a = self._alpha(cutoff)
+        x_hat = a * x + (1 - a) * self._x
+        self._x, self._dx = x_hat, dx_hat
+        return x_hat
+
+    def reset(self) -> None:
+        self._x = self._dx = None
+
+
 def nms_pose(preds: jnp.ndarray, maxvals: jnp.ndarray,
              distance_threshold: float = 5.0
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -298,6 +298,30 @@ def test_one_euro_smooth():
     np.testing.assert_allclose(sm2, sm)
 
 
+def test_streaming_smoother_matches_batch_one_euro():
+    """The stateful per-frame smoother must reproduce the offline
+    one-euro filter when fed the trajectory frame by frame, and resume
+    cleanly after reset()."""
+    from infantposeestimation_gaussianbias_tpu.ops.decode import (
+        one_euro_smooth,
+    )
+    from infantposeestimation_gaussianbias_tpu.postprocess import (
+        StreamingSmoother,
+    )
+
+    rng = np.random.RandomState(1)
+    traj = rng.uniform(0, 64, (60, 17, 2)).astype(np.float32)
+    ref = np.asarray(one_euro_smooth(jnp.asarray(traj), fps=30.0))
+
+    smoother = StreamingSmoother(fps=30.0)
+    out = np.stack([smoother(frame) for frame in traj])
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+    smoother.reset()
+    out2 = np.stack([smoother(frame) for frame in traj])
+    np.testing.assert_allclose(out2, out)
+
+
 def _twopass_oracle(img, inv, out_w, out_h):
     """Loop-based numpy oracle of the exact two-pass resampling math."""
     H, W, C = img.shape
