@@ -62,13 +62,17 @@ def build(batch_size: int, quant: bool = False, fold: bool = False,
     cfg.model.backbone = backbone
     cfg.model.head_type = "fusion"
     cfg.model.compute_dtype = "bfloat16"
-    cfg.data.input_size = (192, 256)
-    cfg.data.heatmap_size = (48, 64)
+    # BENCH_INPUT="W,H" overrides the crop resolution (e.g. "288,384"
+    # for the reference's second config, README.md:227-229)
+    W_in, H_in = (int(v) for v in os.environ.get(
+        "BENCH_INPUT", "192,256").split(","))
+    cfg.data.input_size = (W_in, H_in)
+    cfg.data.heatmap_size = (W_in // 4, H_in // 4)
 
     model = build_model(cfg)
     init = jax.jit(lambda rng, x: model.init(rng, x, False))
     variables = init(jax.random.PRNGKey(0),
-                     jnp.zeros((1, 256, 192, 3), jnp.float32))
+                     jnp.zeros((1, H_in, W_in, 3), jnp.float32))
 
     W, H = cfg.data.input_size
     hm_w, hm_h = cfg.data.heatmap_size
@@ -198,8 +202,10 @@ def main():
         float_cps, _ = measure(False, True)
     else:
         float_cps = cps
+    W_in, H_in = (int(v) for v in os.environ.get(
+        "BENCH_INPUT", "192,256").split(","))
     result = {
-        "metric": "crops_per_sec_per_chip_e2e_256x192",
+        "metric": f"crops_per_sec_per_chip_e2e_{H_in}x{W_in}",
         "value": round(cps, 1),
         "unit": "crops/s",
         "vs_baseline": round(float_cps / BASELINE_IMG_PER_S, 2),
