@@ -359,6 +359,28 @@ def get_hrformer_small_config() -> Config:
     return cfg
 
 
+def get_hrnet_w48_384_config() -> Config:
+    """High-res W48 config (ref README.md:229: HRNet-W48 384x288,
+    AP 76.3)."""
+    cfg = get_hrnet_w48_config()
+    cfg.data.input_size = (288, 384)
+    cfg.data.heatmap_size = (72, 96)
+    cfg.train.global_batch_size = 16
+    cfg.exp_name = "hrnet_w48_coco_384x288"
+    return cfg
+
+
+def get_hrformer_base_384_config() -> Config:
+    """High-res HRFormer-Base config (ref README.md:227: 384x288,
+    AP 77.2)."""
+    cfg = get_hrformer_base_config()
+    cfg.data.input_size = (288, 384)
+    cfg.data.heatmap_size = (72, 96)
+    cfg.train.global_batch_size = 16
+    cfg.exp_name = "hrformer_base_coco_384x288"
+    return cfg
+
+
 def get_lightweight_config() -> Config:
     """Fast-inference variant (ref config.py:187-198)."""
     cfg = Config()
@@ -397,7 +419,9 @@ VARIANTS = {
     "default": get_config,
     "hrnet_w32": get_hrnet_w32_config,
     "hrnet_w48": get_hrnet_w48_config,
+    "hrnet_w48_384": get_hrnet_w48_384_config,
     "hrformer_base": get_hrformer_base_config,
+    "hrformer_base_384": get_hrformer_base_384_config,
     "hrformer_small": get_hrformer_small_config,
     "lightweight": get_lightweight_config,
     "preemie": get_preemie_config,

@@ -43,9 +43,20 @@ def test_preemie_variant():
 
 def test_all_variants_construct():
     for name in ("default", "hrnet_w32", "hrnet_w48", "hrformer_base",
-                 "hrformer_small", "lightweight", "preemie"):
+                 "hrformer_small", "lightweight", "preemie",
+                 "hrnet_w48_384", "hrformer_base_384"):
         cfg = get_variant(name)
         assert cfg.exp_name
+
+
+def test_384_variants_match_reference_resolution():
+    """High-res rows of the reference AP table
+    (/root/reference/README.md:227-229): 384x288 input, 96x72 heatmaps."""
+    for name in ("hrnet_w48_384", "hrformer_base_384"):
+        cfg = get_variant(name)
+        assert tuple(cfg.data.input_size) == (288, 384)   # (W, H)
+        assert tuple(cfg.data.heatmap_size) == (72, 96)
+        assert "384x288" in cfg.exp_name
 
 
 def test_yaml_roundtrip(tmp_path):
