@@ -204,23 +204,31 @@ def main():
         float_cps = cps
     W_in, H_in = (int(v) for v in os.environ.get(
         "BENCH_INPUT", "192,256").split(","))
+    # The RTX-3090 baseline is HRNet-W32 at 256x192 float; a ratio
+    # against any other backbone/resolution would be apples-to-oranges,
+    # so vs_baseline is only emitted for the matching configuration.
+    comparable = (backbone == "hrnet_w32" and (W_in, H_in) == (192, 256))
     result = {
         "metric": f"crops_per_sec_per_chip_e2e_{H_in}x{W_in}",
         "value": round(cps, 1),
         "unit": "crops/s",
-        "vs_baseline": round(float_cps / BASELINE_IMG_PER_S, 2),
+        "vs_baseline": (round(float_cps / BASELINE_IMG_PER_S, 2)
+                        if comparable else None),
         "batch_size": bs,
         "ms_per_batch": round(per_iter * 1e3, 3),
         "device": str(jax.devices()[0]),
         "precision": ("int8-ptq" if quant
                       else "bf16-bnfold" if fold else "bf16"),
         "backbone": backbone,
-        "vs_baseline_precision": "bf16-bnfold vs float-rtx3090",
+        "vs_baseline_precision": ("bf16-bnfold vs float-rtx3090"
+                                  if comparable else
+                                  "n/a: baseline is hrnet_w32@256x192"),
     }
     if quant:
         result["float_crops_per_sec"] = round(float_cps, 1)
-        result["vs_baseline_int8_vs_float"] = round(
-            cps / BASELINE_IMG_PER_S, 2)
+        if comparable:
+            result["vs_baseline_int8_vs_float"] = round(
+                cps / BASELINE_IMG_PER_S, 2)
     print(json.dumps(result))
 
 

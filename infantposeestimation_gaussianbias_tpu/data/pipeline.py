@@ -211,6 +211,20 @@ def prefetch_to_device(batches, size: int = 2, keys=None, place=None):
     q: "queue.Queue" = queue.Queue(maxsize=size)
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        # Bounded put that re-checks `stop`: a consumer that abandons the
+        # stream mid-flight (break / downstream error) sets `stop` while
+        # this thread may be parked in a blocking put on a full queue —
+        # without the timeout loop the thread leaks forever, pinning up
+        # to `size` device-committed batches in HBM.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def transfer():
         try:
             for batch in batches:
@@ -220,10 +234,11 @@ def prefetch_to_device(batches, size: int = 2, keys=None, place=None):
                 for k, v in batch.items():
                     if keys is None or k in keys:
                         out[k] = place(v)
-                q.put(out)
-            q.put(None)
+                if not _put(out):
+                    return
+            _put(None)
         except BaseException as e:  # propagate to the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=transfer, daemon=True)
     t.start()

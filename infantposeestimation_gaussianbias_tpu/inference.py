@@ -139,7 +139,25 @@ class PoseInference:
                                      mesh=self.mesh).apply
         self._shard_variables()
         self._jit_pipeline = jax.jit(self._pipeline)
+        # the quantized apply_fn replaces the float one; drop any jit
+        # built against the old closure (invalidate at the mutation
+        # site so every install path is covered)
+        if hasattr(self, "_jit_crops_pipeline"):
+            del self._jit_crops_pipeline
         self._quant_installed = True
+
+    def _warn_small_calibration(self, n_crops: int) -> None:
+        if n_crops >= self.MIN_SELF_CALIB_CROPS:
+            return
+        import warnings
+
+        warnings.warn(
+            f"int8 PTQ self-calibrating on the first predicted batch of "
+            f"only {n_crops} crop(s); activation ranges freeze "
+            f"here permanently. Pass calibration_crops (>= "
+            f"{self.MIN_SELF_CALIB_CROPS} representative crops) to "
+            f"PoseInference for stable quantization.",
+            stacklevel=4)
 
     # PTQ abs-max ranges freeze after the first calibration; below this
     # many crops a single unrepresentative batch (e.g. one dark frame)
@@ -149,16 +167,7 @@ class PoseInference:
     def _maybe_calibrate(self, frames, centers, scales) -> None:
         if not self.quantize or getattr(self, "_quant_installed", False):
             return
-        if frames.shape[0] < self.MIN_SELF_CALIB_CROPS:
-            import warnings
-
-            warnings.warn(
-                f"int8 PTQ self-calibrating on the first predicted batch of "
-                f"only {frames.shape[0]} crop(s); activation ranges freeze "
-                f"here permanently. Pass calibration_crops (>= "
-                f"{self.MIN_SELF_CALIB_CROPS} representative crops) to "
-                f"PoseInference for stable quantization.",
-                stacklevel=3)
+        self._warn_small_calibration(frames.shape[0])
         from .ops import affine
 
         W, H = self.cfg.data.input_size
@@ -287,15 +296,12 @@ class PoseInference:
         if not self.quantize or getattr(self, "_quant_installed", False):
             return
         cfg = self.cfg
+        self._warn_small_calibration(int(batch["image_u8"].shape[0]))
         mean = jnp.asarray(cfg.data.pixel_mean, jnp.float32) * 255.0
         std = jnp.asarray(cfg.data.pixel_std, jnp.float32) * 255.0
         crops = (jnp.asarray(batch["image_u8"]).astype(jnp.float32)
                  - mean) / std
         self._install_quant([crops])
-        # the quantized apply_fn replaces the float one; drop the jit
-        # built against the old closure
-        if hasattr(self, "_jit_crops_pipeline"):
-            del self._jit_crops_pipeline
 
     def predict(self, image: np.ndarray, bbox: Optional[Sequence] = None
                 ) -> Tuple[np.ndarray, np.ndarray]:

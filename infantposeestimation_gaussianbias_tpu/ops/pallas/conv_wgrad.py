@@ -30,24 +30,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Generic-interpreter switch for CPU tests (same pattern/rationale as
-# ops/pallas/window_msa._INTERPRET).
-_INTERPRET = False
+# Generic-interpreter switch for CPU tests (rationale in _interp.py).
+from ._interp import InterpretSwitch
 
-
-class interpret_mode:
-    """Context manager: run this module's kernels interpreted (tests)."""
-
-    def __enter__(self):
-        global _INTERPRET
-        self._prev = _INTERPRET
-        _INTERPRET = True
-        return self
-
-    def __exit__(self, *exc):
-        global _INTERPRET
-        _INTERPRET = self._prev
-        return False
+_SWITCH = InterpretSwitch()
+interpret_mode = _SWITCH.mode
 
 
 def _wgrad_kernel(x_ref, dy_ref, out_ref, sh_ref, *, H: int, W: int,
@@ -118,7 +105,7 @@ def conv3x3_wgrad(x: jnp.ndarray, dy: jnp.ndarray) -> jnp.ndarray:
     R = bb * (H + 2) * (W + 2)
     out = pl.pallas_call(
         functools.partial(_wgrad_kernel, H=H, W=W, margin=margin),
-        interpret=_INTERPRET,
+        interpret=_SWITCH.enabled,
         grid=(B // bb,),
         in_specs=[
             pl.BlockSpec((bb, H + 2, W + 2, Ci), lambda i: (i, 0, 0, 0),

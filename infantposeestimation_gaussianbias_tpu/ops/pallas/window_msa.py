@@ -23,29 +23,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# When True, every pallas_call in this module runs under the GENERIC
-# Pallas interpreter instead of compiling for TPU.  This exists for the
-# shard_map composition tests on the CPU mesh: pltpu's TPU-semantics
-# interpreter (force_tpu_interpret_mode) synchronizes its emulated cores
-# through io_callback barriers, which deadlock when shard_map fans the
-# kernel out over virtual CPU devices; the generic interpreter has no
-# cross-device barrier.  Tests toggle it via interpret_mode().
-_INTERPRET = False
+# Generic-interpreter switch for CPU tests (rationale in _interp.py).
+from ._interp import InterpretSwitch
 
-
-class interpret_mode:
-    """Context manager: run this module's kernels interpreted (tests)."""
-
-    def __enter__(self):
-        global _INTERPRET
-        self._prev = _INTERPRET
-        _INTERPRET = True
-        return self
-
-    def __exit__(self, *exc):
-        global _INTERPRET
-        _INTERPRET = self._prev
-        return False
+_SWITCH = InterpretSwitch()
+interpret_mode = _SWITCH.mode
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale: float):
@@ -98,7 +80,7 @@ def window_attention_pallas_hm(
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=hd**-0.5),
-        interpret=_INTERPRET,
+        interpret=_SWITCH.enabled,
         grid=grid,
         in_specs=[qkv_spec, qkv_spec, qkv_spec,
                   pl.BlockSpec((1, N, N), lambda h, w: (h, 0, 0),
@@ -202,7 +184,7 @@ def window_attention_pallas_qkv(
 
     out = pl.pallas_call(
         functools.partial(_attn_qkv_kernel, num_heads=H, scale=hd**-0.5),
-        interpret=_INTERPRET,
+        interpret=_SWITCH.enabled,
         grid=(nWp // GB,),
         in_specs=[
             pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),
@@ -307,7 +289,7 @@ def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
     dqkv, dbias = pl.pallas_call(
         functools.partial(_attn_qkv_bwd_kernel, num_heads=H,
                           scale=hd**-0.5),
-        interpret=_INTERPRET,
+        interpret=_SWITCH.enabled,
         grid=(nWp // GB,),
         in_specs=[
             pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),

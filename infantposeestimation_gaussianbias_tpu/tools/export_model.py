@@ -53,9 +53,11 @@ def build_serving_fn(cfg, state, frame_hw: Tuple[int, int] = (512, 512),
         apply_fn = build_model(cfg, quant=True).apply
         fold = False  # BN already folded into the int8 epilogues
     if fold is None:
-        fold = (cfg.model.backbone.startswith(("hrnet", "hrformer"))
-                and cfg.model.head_type in ("fusion", "heatmap")
-                and cfg.model.norm == "batchnorm")
+        from ..models.pose_estimator import serving_mode_supported
+
+        fold = serving_mode_supported(cfg.model.backbone,
+                                      cfg.model.head_type,
+                                      cfg.model.norm, fold=True)
     if fold:
         from ..models import fold_variables
 

@@ -111,11 +111,22 @@ def main():
         dev_rate = reps * B / (time.perf_counter() - t0)
         print(f"device-only serving: {dev_rate:,.0f} crops/s", flush=True)
 
-        # sustained: loader feeding the device, overlapped
+        # sustained: loader feeding the device, overlapped.  Count VALID
+        # rows (the eval loader pads the ragged tail batch to full B
+        # with valid=0 duplicates) so the rate is comparable to the
+        # host/device rates above and efficiency cannot exceed 1.0.
+        valid_counts = []
+
+        def tracked(it):
+            for b in it:
+                valid_counts.append(int(b["valid"].sum()))
+                yield b
+
         t0 = time.perf_counter()
         n_done = 0
-        for coords, scores in infer.predict_stream(loader.epoch(1)):
-            n_done += coords.shape[0]
+        for i, (coords, scores) in enumerate(
+                infer.predict_stream(tracked(loader.epoch(1)))):
+            n_done += valid_counts[i]
         sustained = n_done / (time.perf_counter() - t0)
         bound = min(host_rate, dev_rate)
         print(f"sustained overlapped: {sustained:,.0f} crops/s "

@@ -254,3 +254,31 @@ def test_prefetch_to_device_transfers_and_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="producer blew up"):
         list(it)
+
+
+def test_prefetch_to_device_abandoned_stream_stops_transfer_thread():
+    """A consumer that abandons the stream mid-flight (break / downstream
+    error) must not leak the transfer thread: with the queue full, the
+    thread would otherwise park forever in a blocking put, pinning
+    device-committed batches."""
+    import threading
+    import time
+
+    from infantposeestimation_gaussianbias_tpu.data.pipeline import (
+        prefetch_to_device,
+    )
+
+    before = {t.ident for t in threading.enumerate()}
+    batches = ({"image_u8": np.zeros((2, 4, 4, 3), np.uint8)}
+               for _ in range(50))
+    it = prefetch_to_device(batches, size=1, keys=("image_u8",))
+    next(it)   # queue now full, thread blocked in put
+    it.close()  # consumer abandons -> generator finally sets stop
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"transfer thread leaked: {leaked}"

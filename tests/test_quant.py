@@ -322,6 +322,31 @@ def test_pose_inference_int8_serving():
     np.testing.assert_allclose(kpts, kpts2, rtol=1e-5, atol=1e-5)
 
 
+def test_install_quant_invalidates_crops_pipeline_cache():
+    """_install_quant mutates _apply_fn, so it must drop the cached
+    _jit_crops_pipeline closure at the mutation site — any install path
+    that skipped the invalidation would keep serving the stale float
+    closure against int8 variables."""
+    from infantposeestimation_gaussianbias_tpu.inference import PoseInference
+
+    cfg = Config()
+    cfg.model.backbone = "hrnet_w32"
+    cfg.model.head_type = "fusion"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.input_size = (48, 64)
+    cfg.data.heatmap_size = (12, 16)
+    cfg.eval.flip_test = False
+
+    infer = PoseInference(cfg, quantize=True)
+    stale = infer._crops_pipeline_jit()  # build float closure first
+    assert infer._jit_crops_pipeline is stale
+    rng = np.random.RandomState(1)
+    crops = rng.uniform(-2, 2, (64, 64, 48, 3)).astype(np.float32)
+    infer._install_quant([crops])
+    assert not hasattr(infer, "_jit_crops_pipeline")
+    assert infer._crops_pipeline_jit() is not stale
+
+
 def test_pose_inference_int8_rejects_unsupported():
     from infantposeestimation_gaussianbias_tpu.inference import PoseInference
 
