@@ -1,0 +1,269 @@
+"""Batched HTTP pose-serving driver.
+
+The reference has no serving surface beyond one-crop-at-a-time scripts
+(/root/reference/inference.py:287-381); on TPU the economics invert —
+the device wants large batches — so this server micro-batches
+concurrent requests: handler threads enqueue frames, one dispatcher
+thread drains the queue every ``--batch-window`` ms (up to
+``--max-batch``), groups same-shape frames, and runs one
+``predict_batch`` per group.  Composes with every serving mode
+(``--int8`` PTQ, BN-fold default, ``--mesh`` multi-device).
+
+    python -m infantposeestimation_gaussianbias_tpu.cli.serve \
+        --variant hrnet_w32 --checkpoint checkpoints/best --port 8000
+
+    POST /predict          image body (JPEG/PNG, or .npy (H,W,3) uint8
+                           with Content-Type: application/x-npy);
+                           optional ?bbox=x1,y1,x2,y2 (xyxy, defaults
+                           to the full frame)
+                           -> {"keypoints": [[x, y], ...],
+                               "scores": [...], "keypoint_names": [...]}
+    GET  /healthz          -> {"status": "ok", "backbone": ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..inference import PoseInference
+from .common import add_config_args, resolve_config
+
+
+class _Pending:
+    """One enqueued request: the frame to predict and a door to wait at."""
+
+    __slots__ = ("frame", "bbox", "done", "result", "error")
+
+    def __init__(self, frame: np.ndarray, bbox: np.ndarray):
+        self.frame = frame
+        self.bbox = bbox
+        self.done = threading.Event()
+        self.result = None
+        self.error: Optional[Exception] = None
+
+
+class MicroBatcher:
+    """Collects concurrent requests into device batches.
+
+    One dispatcher thread blocks for the first pending request, then
+    waits ``window_s`` for company, drains up to ``max_batch``, groups
+    by frame shape (predict_batch needs equal-size frames), and runs
+    one batched forward per group.
+    """
+
+    def __init__(self, infer: PoseInference, max_batch: int = 64,
+                 window_s: float = 0.005):
+        self.infer = infer
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, frame: np.ndarray, bbox: np.ndarray,
+               timeout: float = 60.0):
+        p = _Pending(frame, bbox)
+        self.q.put(p)
+        if not p.done.wait(timeout):
+            raise TimeoutError("prediction timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+
+    def _drain(self) -> list:
+        try:
+            first = self.q.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        if self.window_s > 0:
+            self._stop.wait(self.window_s)  # let a burst accumulate
+        batch = [first]
+        while len(batch) < self.max_batch:
+            try:
+                batch.append(self.q.get_nowait())
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self._drain()
+            if not batch:
+                continue
+            groups: dict = {}
+            for p in batch:
+                groups.setdefault(p.frame.shape, []).append(p)
+            for members in groups.values():
+                try:
+                    frames = np.stack([p.frame for p in members])
+                    bboxes = np.stack([p.bbox for p in members])
+                    kpts, scores = self.infer.predict_batch(frames, bboxes)
+                    for i, p in enumerate(members):
+                        p.result = (kpts[i], scores[i])
+                except Exception as e:  # report, don't kill the server
+                    for p in members:
+                        p.error = e
+                finally:
+                    for p in members:
+                        p.done.set()
+
+
+def _decode_image(body: bytes, content_type: str) -> np.ndarray:
+    if "npy" in content_type:
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+        if arr.ndim != 3 or arr.shape[-1] != 3:
+            raise ValueError(f"npy frame must be (H, W, 3), got {arr.shape}")
+        return np.ascontiguousarray(arr, np.uint8)
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError("cannot decode image body")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def make_server(infer: PoseInference, host: str = "127.0.0.1",
+                port: int = 8000, max_batch: int = 64,
+                window_ms: float = 5.0):
+    """Build (but don't start) the HTTP server; returns (server, batcher).
+
+    Split from main() so tests can run it on an ephemeral port.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    batcher = MicroBatcher(infer, max_batch=max_batch,
+                           window_s=window_ms / 1e3)
+    names = list(infer.schema.keypoint_names)
+    health = {
+        "status": "ok",
+        "backbone": infer.cfg.model.backbone,
+        "head": infer.cfg.model.head_type,
+        "num_keypoints": infer.schema.num_keypoints,
+        "precision": ("int8-ptq" if infer.quantize else "float"),
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if urlparse(self.path).path == "/healthz":
+                self._send(200, health)
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            url = urlparse(self.path)
+            if url.path != "/predict":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                frame = _decode_image(
+                    self.rfile.read(length),
+                    self.headers.get("Content-Type", ""))
+                qs = parse_qs(url.query)
+                if "bbox" in qs:
+                    bbox = np.asarray(
+                        [float(v) for v in qs["bbox"][0].split(",")],
+                        np.float32)
+                    if bbox.shape != (4,):
+                        raise ValueError("bbox must be x1,y1,x2,y2")
+                else:
+                    h, w = frame.shape[:2]
+                    bbox = np.asarray([0, 0, w, h], np.float32)
+                kpts, scores = batcher.submit(frame, bbox)
+            except (ValueError, TimeoutError) as e:
+                self._send(400, {"error": str(e)})
+                return
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            self._send(200, {
+                "keypoints": np.asarray(kpts).round(2).tolist(),
+                "scores": np.asarray(scores).round(4).tolist(),
+                "keypoint_names": names,
+            })
+
+        def log_message(self, fmt, *args):  # route through print, quietly
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, batcher
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Batched pose HTTP server")
+    add_config_args(parser)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--max-batch", type=int, default=64,
+                        help="largest device batch one dispatch may form")
+    parser.add_argument("--batch-window", type=float, default=5.0,
+                        metavar="MS", help="how long the dispatcher waits "
+                        "for a burst to accumulate (ms)")
+    parser.add_argument("--no-fold", action="store_true",
+                        help="disable the (exact) BN-fold serving transform")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve in int8 PTQ (calibrated on the first "
+                             "batch unless calibration crops are provided)")
+    parser.add_argument("--mesh", type=int, nargs="?", const=0, default=None,
+                        metavar="MODEL_AXIS",
+                        help="serve over all local devices on a "
+                             "('data','model') mesh; optional value = model-"
+                             "axis size (default 1: pure data parallel)")
+    args = parser.parse_args(argv)
+    cfg = resolve_config(args)
+
+    mesh = None
+    tensor_parallel = False
+    if args.mesh is not None:
+        from ..parallel import create_mesh
+
+        model_axis = max(1, args.mesh)
+        mesh = create_mesh(data_axis=0, model_axis=model_axis)
+        tensor_parallel = model_axis > 1
+    infer = PoseInference(cfg, checkpoint=args.checkpoint,
+                          quantize=args.int8,
+                          fold=False if args.no_fold else None,
+                          mesh=mesh, tensor_parallel=tensor_parallel)
+    # Compile (and PTQ-calibrate) before accepting traffic so the first
+    # request doesn't pay the multi-second jit.
+    W, H = cfg.data.input_size
+    warm = np.zeros((1, H, W, 3), np.uint8)
+    infer.predict_batch(warm, np.asarray([[0, 0, W, H]], np.float32))
+
+    server, batcher = make_server(infer, args.host, args.port,
+                                  args.max_batch, args.batch_window)
+    print(f"serving {cfg.model.backbone}+{cfg.model.head_type} on "
+          f"http://{args.host}:{args.port}  (POST /predict, GET /healthz)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        batcher.stop()
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

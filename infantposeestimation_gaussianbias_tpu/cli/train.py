@@ -23,7 +23,20 @@ def main(argv=None):
     parser.add_argument("--synthetic", type=int, default=0, metavar="N",
                         help="train on N synthetic images (smoke test, "
                              "no COCO data needed)")
+    parser.add_argument("--profile", nargs="?", const="10:13",
+                        metavar="START:STOP",
+                        help="capture a jax.profiler (XProf) trace of "
+                             "global steps [START, STOP) into "
+                             "<log_dir>/profile (default window 10:13; "
+                             "view with TensorBoard)")
     args = parser.parse_args(argv)
+    profile_steps = None
+    if args.profile:
+        a, _, b = args.profile.partition(":")
+        profile_steps = (int(a), int(b)) if b else (int(a), int(a) + 3)
+        if not 0 <= profile_steps[0] < profile_steps[1]:
+            parser.error(f"--profile window must satisfy 0 <= START < "
+                         f"STOP, got {args.profile!r}")
     cfg = resolve_config(args)
 
     # Multi-host init must run before anything touches jax devices
@@ -51,7 +64,8 @@ def main(argv=None):
             with open(os.path.join(cfg.data.data_root,
                                    cfg.data.val_ann)) as f:
                 gt = json.load(f)
-    train(cfg, train_loader, val_loader, gt, max_epochs=args.epochs)
+    train(cfg, train_loader, val_loader, gt, max_epochs=args.epochs,
+          profile_steps=profile_steps)
 
 
 def _synthetic_loaders(cfg, n):

@@ -9,6 +9,7 @@ a device mesh, and the threaded host loader.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, Optional
 
@@ -117,8 +118,15 @@ def train(cfg: Config, train_loader: DataLoader,
           val_loader: Optional[DataLoader] = None,
           gt_dataset: Optional[Dict] = None,
           max_epochs: Optional[int] = None,
-          use_mesh: bool = True):
-    """Main training driver (ref train.py:371-473). Returns final state."""
+          use_mesh: bool = True,
+          profile_steps: Optional[tuple] = None):
+    """Main training driver (ref train.py:371-473). Returns final state.
+
+    ``profile_steps=(start, stop)`` captures a jax.profiler (XProf) trace
+    of global steps [start, stop) into ``<log_dir>/profile`` — the
+    in-framework equivalent of the reference's manual timing hooks
+    (SURVEY.md section 5.1); view with TensorBoard or xprof.
+    """
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
@@ -167,15 +175,31 @@ def train(cfg: Config, train_loader: DataLoader,
     writer = (MetricsWriter(cfg.log_dir) if jax.process_index() == 0
               else None)
 
+    prof_start, prof_stop = profile_steps or (None, None)
+    prof_dir = os.path.join(cfg.log_dir, "profile")
+    profiling = False
+    steps_done = 0
+
     for epoch in range(start_epoch, epochs):
         logger = MetricLogger()
         t0 = time.time()
         for i, batch in enumerate(train_loader.epoch(epoch)):
+            if prof_start is not None and steps_done == prof_start:
+                jax.block_until_ready(state.params)  # drain async dispatch
+                jax.profiler.start_trace(prof_dir)
+                profiling = True
             db = device_batch(batch, mean, std)
             if mesh is not None:
                 db = shard_batch(db, mesh)
             dropout_rng, sub = jax.random.split(dropout_rng)
             state, metrics = step_fn(state, db, sub)
+            steps_done += 1
+            if profiling and steps_done == prof_stop:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                log.info("profiler trace for steps [%d, %d) written to %s",
+                         prof_start, prof_stop, prof_dir)
             if (i + 1) % cfg.train.log_interval == 0 or i == 0:
                 scalars = {k: float(v) for k, v in metrics.items()}
                 scalars["lr"] = float(lr_schedule(int(state.step)))
@@ -202,4 +226,9 @@ def train(cfg: Config, train_loader: DataLoader,
         if is_best:
             log.info("new best %s=%.4f at epoch %d", cfg.train.save_best,
                      best, epoch)
+    if profiling:  # window ran past the end of training
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
+        log.info("profiler trace (truncated at step %d) written to %s",
+                 steps_done, prof_dir)
     return state

@@ -117,6 +117,23 @@ def test_cli_train_synthetic(tmp_path):
     assert os.path.exists(str(tmp_path / "logs" / "metrics.jsonl"))
 
 
+def test_cli_train_profile_trace(tmp_path):
+    """--profile captures an XProf trace of the requested step window
+    (truncated stop when training ends inside the window)."""
+    import glob
+
+    from infantposeestimation_gaussianbias_tpu.cli.train import main
+
+    main(["--synthetic", "8", "--epochs", "1", "--no-val",
+          "--profile", "1:2"] + COMMON +
+         [f"train.checkpoint_dir={tmp_path}/ck",
+          "train.global_batch_size=4",
+          f"log_dir={tmp_path}/logs"])
+    traces = glob.glob(str(tmp_path / "logs" / "profile" / "**" /
+                           "*.xplane.pb"), recursive=True)
+    assert traces, "no xplane trace written by --profile"
+
+
 def test_cli_tools_convert_and_analyze(tmp_path, capsys):
     import cv2
 

@@ -1,0 +1,121 @@
+"""HTTP serving driver: micro-batching, endpoints, error paths."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from infantposeestimation_gaussianbias_tpu.config import Config
+from infantposeestimation_gaussianbias_tpu.inference import PoseInference
+
+
+def _tiny_cfg():
+    cfg = Config()
+    cfg.model.backbone = "litehrnet"
+    cfg.model.head_type = "heatmap"
+    cfg.model.compute_dtype = "float32"
+    cfg.data.input_size = (48, 64)
+    cfg.data.heatmap_size = (12, 16)
+    cfg.eval.flip_test = False
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def server():
+    from infantposeestimation_gaussianbias_tpu.cli.serve import make_server
+
+    infer = PoseInference(_tiny_cfg(), fold=False)
+    srv, batcher = make_server(infer, host="127.0.0.1", port=0,
+                               max_batch=8, window_ms=30.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", batcher
+    srv.shutdown()
+    batcher.stop()
+    srv.server_close()
+
+
+def _post_npy(base, frame, query="", timeout=120):
+    buf = io.BytesIO()
+    np.save(buf, frame)
+    req = urllib.request.Request(
+        base + "/predict" + query, data=buf.getvalue(),
+        headers={"Content-Type": "application/x-npy"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    base, _ = server
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+        payload = json.loads(r.read())
+    assert payload["status"] == "ok"
+    assert payload["backbone"] == "litehrnet"
+    assert payload["num_keypoints"] == 17
+
+
+def test_predict_roundtrip_matches_direct_api(server):
+    base, batcher = server
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 255, (96, 128, 3), np.uint8)
+    status, payload = _post_npy(base, frame, "?bbox=10,10,100,80")
+    assert status == 200
+    kpts = np.asarray(payload["keypoints"], np.float32)
+    scores = np.asarray(payload["scores"], np.float32)
+    assert kpts.shape == (17, 2) and scores.shape == (17,)
+    ref_k, ref_s = batcher.infer.predict_batch(
+        frame[None], np.asarray([[10, 10, 100, 80]], np.float32))
+    np.testing.assert_allclose(kpts, ref_k[0], atol=0.011)  # rounded to 2dp
+    np.testing.assert_allclose(scores, ref_s[0], atol=1e-3)
+
+
+def test_concurrent_requests_micro_batch(server):
+    """Concurrent same-shape posts are served from shared device batches
+    and each response matches the equivalent direct batched call."""
+    base, batcher = server
+    rng = np.random.RandomState(1)
+    frames = rng.randint(0, 255, (6, 64, 96, 3), np.uint8)
+    results = [None] * len(frames)
+
+    def call(i):
+        results[i] = _post_npy(base, frames[i])
+
+    threads = [threading.Thread(target=call, args=(i,))
+               for i in range(len(frames))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    ref_k, _ = batcher.infer.predict_batch(
+        frames, np.asarray([[0, 0, 96, 64]] * len(frames), np.float32))
+    for i, (status, payload) in enumerate(results):
+        assert status == 200
+        np.testing.assert_allclose(
+            np.asarray(payload["keypoints"]), ref_k[i], atol=0.011)
+
+
+def test_bad_requests(server):
+    base, _ = server
+    # undecodable body
+    req = urllib.request.Request(base + "/predict", data=b"not an image",
+                                 headers={"Content-Type": "image/jpeg"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    # malformed bbox
+    frame = np.zeros((32, 32, 3), np.uint8)
+    status, payload = _post_npy(base, frame, "?bbox=1,2,3")
+    assert status == 400 and "bbox" in payload["error"]
+    # wrong npy rank
+    status, payload = _post_npy(base, np.zeros((4, 4), np.uint8))
+    assert status == 400
+    # unknown path
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+    assert e.value.code == 404
