@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import queue
 import threading
 from typing import Optional
@@ -210,6 +211,32 @@ def make_server(infer: PoseInference, host: str = "127.0.0.1",
     return server, batcher
 
 
+def _load_calibration_crops(directory: str, cfg, limit: int) -> np.ndarray:
+    """Read up to ``limit`` images and produce normalized model-input
+    crops for PTQ calibration ((rgb − mean·255) / (std·255), resized to
+    the configured input size)."""
+    import cv2
+
+    W, H = cfg.data.input_size
+    mean = np.asarray(cfg.data.pixel_mean, np.float32) * 255.0
+    std = np.asarray(cfg.data.pixel_std, np.float32) * 255.0
+    crops = []
+    for name in sorted(os.listdir(directory)):
+        if not name.lower().endswith((".jpg", ".jpeg", ".png", ".bmp")):
+            continue
+        img = cv2.imread(os.path.join(directory, name))
+        if img is None:
+            continue
+        rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        crop = cv2.resize(rgb, (W, H)).astype(np.float32)
+        crops.append((crop - mean) / std)
+        if len(crops) >= limit:
+            break
+    if not crops:
+        raise SystemExit(f"no readable images in {directory}")
+    return np.stack(crops)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Batched pose HTTP server")
     add_config_args(parser)
@@ -226,6 +253,12 @@ def main(argv=None):
     parser.add_argument("--int8", action="store_true",
                         help="serve in int8 PTQ (calibrated on the first "
                              "batch unless calibration crops are provided)")
+    parser.add_argument("--calibration-dir", default=None, metavar="DIR",
+                        help="directory of representative images for int8 "
+                             "PTQ calibration; without it calibration "
+                             "happens on the first real request batch")
+    parser.add_argument("--calibration-size", type=int, default=64,
+                        help="max images read from --calibration-dir")
     parser.add_argument("--mesh", type=int, nargs="?", const=0, default=None,
                         metavar="MODEL_AXIS",
                         help="serve over all local devices on a "
@@ -242,15 +275,27 @@ def main(argv=None):
         model_axis = max(1, args.mesh)
         mesh = create_mesh(data_axis=0, model_axis=model_axis)
         tensor_parallel = model_axis > 1
+    calib = None
+    if args.int8 and args.calibration_dir:
+        calib = _load_calibration_crops(args.calibration_dir, cfg,
+                                        args.calibration_size)
+        print(f"calibrating int8 PTQ on {len(calib)} crops from "
+              f"{args.calibration_dir}")
     infer = PoseInference(cfg, checkpoint=args.checkpoint,
-                          quantize=args.int8,
+                          quantize=args.int8, calibration_crops=calib,
                           fold=False if args.no_fold else None,
                           mesh=mesh, tensor_parallel=tensor_parallel)
-    # Compile (and PTQ-calibrate) before accepting traffic so the first
-    # request doesn't pay the multi-second jit.
     W, H = cfg.data.input_size
-    warm = np.zeros((1, H, W, 3), np.uint8)
-    infer.predict_batch(warm, np.asarray([[0, 0, W, H]], np.float32))
+    if args.int8 and calib is None:
+        # A warm-up request would freeze PTQ activation ranges on a
+        # black frame; leave calibration to the first real batch.
+        print("int8 without --calibration-dir: PTQ calibrates (and jits) "
+              "on the first request batch")
+    else:
+        # Compile before accepting traffic so the first request doesn't
+        # pay the multi-second jit.
+        warm = np.zeros((1, H, W, 3), np.uint8)
+        infer.predict_batch(warm, np.asarray([[0, 0, W, H]], np.float32))
 
     server, batcher = make_server(infer, args.host, args.port,
                                   args.max_batch, args.batch_window)

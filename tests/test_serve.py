@@ -100,6 +100,30 @@ def test_concurrent_requests_micro_batch(server):
             np.asarray(payload["keypoints"]), ref_k[i], atol=0.011)
 
 
+def test_load_calibration_crops(tmp_path):
+    """--calibration-dir images become normalized model-input crops."""
+    cv2 = pytest.importorskip("cv2")
+    from infantposeestimation_gaussianbias_tpu.cli.serve import (
+        _load_calibration_crops,
+    )
+
+    cfg = _tiny_cfg()
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        cv2.imwrite(str(tmp_path / f"im{i}.png"),
+                    rng.randint(0, 255, (80, 60, 3), np.uint8))
+    (tmp_path / "notes.txt").write_text("ignored")
+    crops = _load_calibration_crops(str(tmp_path), cfg, limit=2)
+    W, H = cfg.data.input_size
+    assert crops.shape == (2, H, W, 3)
+    # normalized range: (0..255 - mean*255)/(std*255) stays within ~[-3, 3]
+    assert np.abs(crops).max() < 3.5
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        _load_calibration_crops(str(empty), cfg, limit=2)
+
+
 def test_bad_requests(server):
     base, _ = server
     # undecodable body
