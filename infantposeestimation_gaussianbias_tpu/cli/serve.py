@@ -128,6 +128,13 @@ def _decode_image(body: bytes, content_type: str) -> np.ndarray:
         if arr.ndim != 3 or arr.shape[-1] != 3:
             raise ValueError(f"npy frame must be (H, W, 3), got {arr.shape}")
         return np.ascontiguousarray(arr, np.uint8)
+    # JPEG bodies: native single-pass decode straight to RGB (no
+    # BGR->RGB copy); other formats / no native build -> cv2.
+    if body[:3] == b"\xff\xd8\xff":
+        from .. import native as native_mod
+
+        if native_mod.available():
+            return native_mod.decode_rgb(body)
     import cv2
 
     img = cv2.imdecode(np.frombuffer(body, np.uint8), cv2.IMREAD_COLOR)

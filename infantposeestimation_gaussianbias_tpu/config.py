@@ -58,6 +58,11 @@ class DataConfig:
 
     use_gt_bbox: bool = True
 
+    # Host loader: "auto" uses the native C++ fused JPEG-decode+warp
+    # (data/pipeline.py, native/) when buildable, falling back to cv2;
+    # "on" requires it; "off" forces the cv2 path.
+    native_loader: str = "auto"
+
     @property
     def num_keypoints(self) -> int:
         return self.keypoint_schema.num_keypoints

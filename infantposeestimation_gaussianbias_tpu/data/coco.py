@@ -104,6 +104,10 @@ def build_records(
                 "keypoints": kpts[:, :2].copy(),
                 "visible": kpts[:, 2].copy(),
                 "area": float(ann.get("area", w * h)),
+                # Image dims let the native loader compute the crop
+                # matrix without decoding first (binding.decode_warp).
+                "img_w": int(info["width"]),
+                "img_h": int(info["height"]),
             })
             if one_per_image:
                 break

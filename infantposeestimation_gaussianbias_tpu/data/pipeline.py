@@ -28,16 +28,36 @@ from .coco import CocoIndex, build_records
 
 
 class PoseDataset:
-    """Record store + per-sample load/augment/warp."""
+    """Record store + per-sample load/augment/warp.
+
+    When the native C++ loader is available (``native/``), JPEG samples
+    take a fused decode+warp path: the crop matrix is computed from the
+    record's image dims, and one C call decodes only the needed source
+    row band and warps it straight into the crop — no full-image
+    materialization, no BGR->RGB pass.  ``native`` is "auto" (use when
+    buildable), "on" (require), or "off".
+    """
 
     def __init__(self, cfg: Config, records: List[Dict], image_root: str,
-                 is_train: bool, image_cache: Optional[Dict] = None):
+                 is_train: bool, image_cache: Optional[Dict] = None,
+                 native: Optional[str] = None):
         self.cfg = cfg
         self.records = records
         self.image_root = image_root
         self.is_train = is_train
         self.schema: KeypointSchema = cfg.data.keypoint_schema
         self._cache = image_cache  # optional {file_name: ndarray} for tests
+        if native is None:
+            native = getattr(cfg.data, "native_loader", "auto")
+        self._native = False
+        if native in ("auto", "on"):
+            from .. import native as native_mod
+
+            self._native = native_mod.available()
+            if native == "on" and not self._native:
+                raise RuntimeError(
+                    "native_loader='on' but the native loader could not "
+                    "be built (g++/libjpeg missing?)")
 
     def __len__(self) -> int:
         return len(self.records)
@@ -53,11 +73,21 @@ class PoseDataset:
             raise ValueError(f"Failed to load image: {path}")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
-    def get(self, idx: int, epoch: int = 0, seed: int = 0) -> Dict:
-        import cv2
+    def _native_eligible(self, rec: Dict) -> bool:
+        return (self._native
+                and self._cache is None
+                and "img_w" in rec
+                and rec["image_file"].lower().endswith((".jpg", ".jpeg")))
 
+    def get(self, idx: int, epoch: int = 0, seed: int = 0) -> Dict:
         rec = self.records[idx]
-        img = self._load_image(rec)
+        use_native = self._native_eligible(rec)
+        if use_native:
+            img = None
+            img_w, img_h = rec["img_w"], rec["img_h"]
+        else:
+            img = self._load_image(rec)
+            img_h, img_w = img.shape[:2]
         sample = {
             "keypoints": rec["keypoints"].copy(),
             "visible": rec["visible"].copy(),
@@ -67,15 +97,25 @@ class PoseDataset:
         if self.is_train:
             rng = np.random.RandomState(
                 (seed * 1_000_003 + epoch * 7919 + idx) % (2**31 - 1))
-            sample = T.train_transform(rng, sample, img.shape[1],
+            sample = T.train_transform(rng, sample, img_w,
                                        self.schema, self.cfg.data,
-                                       img_h=img.shape[0])
+                                       img_h=img_h)
         else:
-            sample = T.val_transform(sample, img.shape[1], self.cfg.data)
+            sample = T.val_transform(sample, img_w, self.cfg.data)
 
         W, H = self.cfg.data.input_size
-        crop = cv2.warpAffine(img, sample["matrix"].astype(np.float64),
-                              (int(W), int(H)), flags=cv2.INTER_LINEAR)
+        if use_native:
+            from .. import native as native_mod
+
+            path = os.path.join(self.image_root, rec["image_file"])
+            with open(path, "rb") as f:
+                data = f.read()
+            crop = native_mod.decode_warp(data, sample["matrix"], (W, H))
+        else:
+            import cv2
+
+            crop = cv2.warpAffine(img, sample["matrix"].astype(np.float64),
+                                  (int(W), int(H)), flags=cv2.INTER_LINEAR)
         return {
             "image_u8": crop,
             "keypoints": sample["keypoints"].astype(np.float32),

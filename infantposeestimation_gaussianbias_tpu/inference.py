@@ -321,15 +321,27 @@ class PoseInference:
         extracted video frames)."""
         import cv2
 
+        from . import native
+
+        use_native = native.available()
         results = {}
         groups: Dict[tuple, list] = {}
         for name in sorted(os.listdir(directory)):
             if not name.lower().endswith(exts):
                 continue
-            img = cv2.imread(os.path.join(directory, name))
+            path = os.path.join(directory, name)
+            img = None
+            if use_native and name.lower().endswith((".jpg", ".jpeg")):
+                try:  # single-pass decode straight to RGB
+                    with open(path, "rb") as f:
+                        img = native.decode_rgb(f.read())
+                except (ValueError, OSError):
+                    img = None  # fall through to cv2 (e.g. mislabeled PNG)
             if img is None:
-                continue
-            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                img = cv2.imread(path)
+                if img is None:
+                    continue
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             groups.setdefault(img.shape, []).append((name, img))
 
         for shape, items in groups.items():

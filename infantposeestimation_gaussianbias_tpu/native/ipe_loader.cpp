@@ -1,0 +1,369 @@
+// Native host-loader: fused JPEG decode + affine crop for the input
+// pipeline.
+//
+// TPU-native framework rationale: on a TPU host the device consumes
+// crops at thousands/s while the Python/cv2 host path (full-image
+// decode -> BGR2RGB copy -> cv2.warpAffine) tops out far lower per
+// core.  This library fuses the per-sample host work into one C call:
+//
+//   JPEG bytes --libjpeg--> RGB rows (only the row band the crop needs;
+//   decode stops at the last needed scanline) --bilinear warp--> crop
+//
+// eliminating the full-image materialization, the BGR->RGB pass, and
+// (optionally, `fast` mode) running the IDCT at 1/2, 1/4 or 1/8 scale
+// when the crop downsamples anyway.  The reference's analogue is torch
+// DataLoader workers doing cv2 decode + warp per sample
+// (/root/reference/datasets/coco_dataset.py:121-183,253-306).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this
+// environment).  All calls release the GIL (ctypes does this for us),
+// and ipe_decode_warp_batch additionally runs its own std::thread pool.
+//
+// Warp semantics: `mat` is the FORWARD 2x3 affine (source image ->
+// crop), the same convention as data/transforms.py::affine_matrix_np;
+// we invert it and do inverse-mapped float bilinear sampling with
+// constant-0 border, i.e. cv2.warpAffine(INTER_LINEAR) semantics up to
+// cv2's 5-bit fixed-point interpolation quantization.
+
+#include <cstddef>
+#include <cstdio>  // jpeglib.h needs FILE/size_t declared first
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct ErrMgr {
+  jpeg_error_mgr pub;
+  jmp_buf jb;
+};
+
+void err_exit(j_common_ptr cinfo) {
+  ErrMgr* e = reinterpret_cast<ErrMgr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+void err_emit(j_common_ptr, int) {}  // swallow warnings
+
+struct Inv23 {
+  float ia, ib, ic, id, ie, if_;
+  bool ok;
+};
+
+Inv23 invert(const float* m) {
+  // m = [a b c; d e f], maps (x,y) -> (a x + b y + c, d x + e y + f).
+  Inv23 r{};
+  const float a = m[0], b = m[1], c = m[2], d = m[3], e = m[4], f = m[5];
+  const float det = a * e - b * d;
+  if (std::fabs(det) < 1e-12f) {
+    r.ok = false;
+    return r;
+  }
+  const float inv = 1.0f / det;
+  r.ia = e * inv;
+  r.ib = -b * inv;
+  r.id = -d * inv;
+  r.ie = a * inv;
+  r.ic = -(r.ia * c + r.ib * f);
+  r.if_ = -(r.id * c + r.ie * f);
+  r.ok = true;
+  return r;
+}
+
+// Source-row band [y0, y1] (inclusive, unclamped) touched by the crop:
+// map the 4 crop corners through the inverse matrix, pad by 2 px for
+// the bilinear footprint + float slack.
+void src_row_range(const Inv23& v, int out_w, int out_h, float* y0,
+                   float* y1) {
+  float lo = 1e30f, hi = -1e30f;
+  const float xs[2] = {0.0f, static_cast<float>(out_w - 1)};
+  const float ys[2] = {0.0f, static_cast<float>(out_h - 1)};
+  for (float cx : xs)
+    for (float cy : ys) {
+      const float sy = v.id * cx + v.ie * cy + v.if_;
+      lo = std::min(lo, sy);
+      hi = std::max(hi, sy);
+    }
+  *y0 = lo - 2.0f;
+  *y1 = hi + 2.0f;
+}
+
+// Bilinear sample (constant-0 border) from an RGB row band.
+// `rows` points at row `row0` of the (virtual) full image.
+inline void sample(const uint8_t* rows, int row0, int rows_n, int w,
+                   float sx, float sy, uint8_t* out) {
+  const int x0 = static_cast<int>(std::floor(sx));
+  const int y0 = static_cast<int>(std::floor(sy));
+  const float fx = sx - x0, fy = sy - y0;
+  const float w00 = (1 - fx) * (1 - fy), w01 = fx * (1 - fy);
+  const float w10 = (1 - fx) * fy, w11 = fx * fy;
+  float acc[3] = {0, 0, 0};
+  for (int dy = 0; dy < 2; ++dy) {
+    const int y = y0 + dy;
+    const int r = y - row0;
+    if (r < 0 || r >= rows_n) continue;
+    const uint8_t* row = rows + static_cast<size_t>(r) * w * 3;
+    for (int dx = 0; dx < 2; ++dx) {
+      const int x = x0 + dx;
+      if (x < 0 || x >= w) continue;
+      const float wt = (dy ? (dx ? w11 : w10) : (dx ? w01 : w00));
+      const uint8_t* p = row + static_cast<size_t>(x) * 3;
+      acc[0] += wt * p[0];
+      acc[1] += wt * p[1];
+      acc[2] += wt * p[2];
+    }
+  }
+  out[0] = static_cast<uint8_t>(std::min(255.0f, acc[0] + 0.5f));
+  out[1] = static_cast<uint8_t>(std::min(255.0f, acc[1] + 0.5f));
+  out[2] = static_cast<uint8_t>(std::min(255.0f, acc[2] + 0.5f));
+}
+
+// Decode one JPEG and warp it into `out` (out_h x out_w x 3, RGB u8).
+// Returns 0 on success.  `fast` enables DCT-domain downscaled decode
+// (numerically different low-pass resampling; training-aug only).
+int decode_warp_one(const unsigned char* buf, long len, const float* mat,
+                    int out_w, int out_h, unsigned char* out, int fast) {
+  Inv23 v = invert(mat);
+  if (!v.ok) return 2;  // singular matrix
+
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = err_exit;
+  jerr.pub.emit_message = err_emit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;  // corrupt / not a JPEG
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  if (fast) {
+    // Largest 1/k (k in 2,4,8) IDCT downscale that still samples the
+    // source at >= ~1 decoded px per crop px in both axes.
+    const float step = std::min(std::hypot(v.ia, v.id),
+                                std::hypot(v.ib, v.ie));
+    int k = 1;
+    while (k < 8 && step >= 2.0f * k) k *= 2;
+    if (k > 1) {
+      cinfo.scale_num = 8 / k;
+      cinfo.scale_denom = 8;
+      // Compose src->scaled (pixel-center model: xs = (x+0.5)*s - 0.5)
+      // into the inverse map so the warp reads scaled coordinates.
+      const float s = 1.0f / k, off = 0.5f * s - 0.5f;
+      v.ia *= s; v.ib *= s; v.ic = v.ic * s + off;
+      v.id *= s; v.ie *= s; v.if_ = v.if_ * s + off;
+    }
+  }
+
+  jpeg_start_decompress(&cinfo);
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  if (cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+
+  float fy0, fy1;
+  src_row_range(v, out_w, out_h, &fy0, &fy1);
+  const int row0 = std::max(0, static_cast<int>(std::floor(fy0)));
+  const int row1 = std::min(h - 1, static_cast<int>(std::ceil(fy1)));
+  if (row1 < row0) {
+    // Crop entirely outside the image: constant border.
+    std::memset(out, 0, static_cast<size_t>(out_w) * out_h * 3);
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+
+  const int rows_n = row1 - row0 + 1;
+  std::vector<uint8_t> band(static_cast<size_t>(rows_n) * w * 3);
+  std::vector<uint8_t> scratch(static_cast<size_t>(w) * 3);
+  while (cinfo.output_scanline <= static_cast<JDIMENSION>(row1)) {
+    const int y = static_cast<int>(cinfo.output_scanline);
+    uint8_t* dst = (y >= row0)
+                       ? band.data() + static_cast<size_t>(y - row0) * w * 3
+                       : scratch.data();
+    JSAMPROW rowp = dst;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  // Early stop: skip the remaining scanlines' huffman+IDCT work.
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  // Row-wise warp with an interior/border split: inside the interior ox
+  // range every 2x2 bilinear footprint is fully in-bounds, so the hot
+  // loop is branchless (the border columns fall back to the checked
+  // sampler).  Source coords advance linearly along a row.
+  const uint8_t* band0 = band.data();
+  for (int oy = 0; oy < out_h; ++oy) {
+    const float bx = v.ib * oy + v.ic;
+    const float by = v.ie * oy + v.if_;
+    uint8_t* orow = out + static_cast<size_t>(oy) * out_w * 3;
+
+    // Solve for the ox range where floor(sx) in [0, w-2] and floor(sy)
+    // in [row0, row0+rows_n-2]:  sx in [0, w-1-eps), sy likewise.
+    float lo = 0.0f, hi = static_cast<float>(out_w);
+    const float eps = 1e-3f;
+    auto clip = [&](float slope, float icpt, float lo_v, float hi_v) {
+      // lo_v <= slope*ox + icpt < hi_v
+      if (std::fabs(slope) < 1e-12f) {
+        if (icpt < lo_v || icpt >= hi_v) lo = 1.0f, hi = 0.0f;
+        return;
+      }
+      float a = (lo_v - icpt) / slope, b = (hi_v - eps - icpt) / slope;
+      if (slope < 0) std::swap(a, b);
+      lo = std::max(lo, a);
+      hi = std::min(hi, b);
+    };
+    clip(v.ia, bx, 0.0f, static_cast<float>(w - 1));
+    clip(v.id, by, static_cast<float>(row0),
+         static_cast<float>(row0 + rows_n - 1));
+    int ilo = 0, ihi = 0;
+    if (hi >= lo) {  // non-empty interior; empty -> whole row is border
+      // Clamp BEFORE the int casts: lo/hi can be huge (near-zero
+      // slope), and float->int casts outside int range are UB.
+      lo = std::min(std::max(lo, 0.0f), static_cast<float>(out_w));
+      hi = std::min(std::max(hi, 0.0f), static_cast<float>(out_w - 1));
+      ilo = std::min(out_w, std::max(0, static_cast<int>(std::ceil(lo))));
+      ihi = std::min(out_w, static_cast<int>(std::floor(hi)) + 1);
+      if (ihi < ilo) ihi = ilo;
+    }
+
+    for (int ox = 0; ox < ilo; ++ox)
+      sample(band0, row0, rows_n, w, v.ia * ox + bx, v.id * ox + by,
+             orow + static_cast<size_t>(ox) * 3);
+    for (int ox = ilo; ox < ihi; ++ox) {
+      const float sx = v.ia * ox + bx;
+      const float sy = v.id * ox + by;
+      const int x0 = static_cast<int>(sx);  // sx >= 0 in the interior
+      const int y0 = static_cast<int>(sy);
+      const float fx = sx - x0, fy = sy - y0;
+      const uint8_t* p0 =
+          band0 + (static_cast<size_t>(y0 - row0) * w + x0) * 3;
+      const uint8_t* p1 = p0 + static_cast<size_t>(w) * 3;
+      uint8_t* o = orow + static_cast<size_t>(ox) * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float top = p0[c] + fx * (p0[c + 3] - p0[c]);
+        const float bot = p1[c] + fx * (p1[c + 3] - p1[c]);
+        o[c] = static_cast<uint8_t>(top + fy * (bot - top) + 0.5f);
+      }
+    }
+    for (int ox = ihi; ox < out_w; ++ox)
+      sample(band0, row0, rows_n, w, v.ia * ox + bx, v.id * ox + by,
+             orow + static_cast<size_t>(ox) * 3);
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int ipe_version() { return 1; }
+
+// Header-only dimension read.  Returns 0 on success.
+int ipe_jpeg_dims(const unsigned char* buf, long len, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = err_exit;
+  jerr.pub.emit_message = err_emit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  *w = static_cast<int>(cinfo.image_width);
+  *h = static_cast<int>(cinfo.image_height);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Full decode to tightly-packed RGB u8 (caller sizes `out` from
+// ipe_jpeg_dims).  Returns 0 on success.
+int ipe_decode_rgb(const unsigned char* buf, long len, unsigned char* out) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = err_exit;
+  jerr.pub.emit_message = err_emit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  if (cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  const size_t stride = static_cast<size_t>(cinfo.output_width) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW rowp = out + static_cast<size_t>(cinfo.output_scanline) * stride;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// Fused decode+warp over a batch.  bufs/lens: n JPEG buffers; mats: n*6
+// forward src->crop affines; out: n*out_h*out_w*3 u8; statuses: n ints
+// (0 = ok).  nthreads <= 0 -> hardware concurrency.  Returns the number
+// of failed samples.
+int ipe_decode_warp_batch(const unsigned char** bufs, const long* lens,
+                          const float* mats, int n, int out_w, int out_h,
+                          unsigned char* out, int* statuses, int nthreads,
+                          int fast) {
+  if (n <= 0) return 0;
+  int t = nthreads > 0 ? nthreads
+                       : static_cast<int>(std::thread::hardware_concurrency());
+  t = std::max(1, std::min(t, n));
+  std::atomic<int> next(0);
+  std::atomic<int> failed(0);
+  const size_t crop_sz = static_cast<size_t>(out_w) * out_h * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const int rc = decode_warp_one(bufs[i], lens[i], mats + 6 * i, out_w,
+                                     out_h, out + crop_sz * i, fast);
+      statuses[i] = rc;
+      if (rc) failed.fetch_add(1);
+    }
+  };
+
+  if (t == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(t);
+    for (int i = 0; i < t; ++i) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
+}
+
+}  // extern "C"

@@ -1,0 +1,190 @@
+"""Native C++ host-loader tests: build, decode/warp parity vs cv2, the
+fused pipeline path, threading determinism, error handling.
+
+The native loader (infantposeestimation_gaussianbias_tpu/native/) is the
+TPU-host analogue of the reference's DataLoader-worker decode+warp
+(/root/reference/datasets/coco_dataset.py:121-183): one C call per
+sample does JPEG decode (only the needed source row band) + bilinear
+affine crop.  Everything here skips cleanly if g++/libjpeg is absent.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from infantposeestimation_gaussianbias_tpu import native
+from infantposeestimation_gaussianbias_tpu.data.transforms import (
+    affine_matrix_np, compose_flip)
+
+cv2 = pytest.importorskip("cv2")
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native loader not buildable here")
+
+
+@pytest.fixture(scope="module")
+def jpeg_image():
+    """A smooth random RGB image + its JPEG bytes + cv2-decoded pixels."""
+    rng = np.random.RandomState(3)
+    img = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    img = cv2.GaussianBlur(img, (0, 0), 2)
+    ok, enc = cv2.imencode(".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+                           [cv2.IMWRITE_JPEG_QUALITY, 92])
+    assert ok
+    data = enc.tobytes()
+    ref = cv2.cvtColor(cv2.imdecode(np.frombuffer(data, np.uint8),
+                                    cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+    return data, ref
+
+
+def test_jpeg_dims(jpeg_image):
+    data, ref = jpeg_image
+    assert native.jpeg_dims(data) == (ref.shape[1], ref.shape[0])
+
+
+def test_decode_matches_cv2(jpeg_image):
+    """Same libjpeg under both decoders -> bit-exact RGB."""
+    data, ref = jpeg_image
+    dec = native.decode_rgb(data)
+    assert dec.shape == ref.shape
+    assert int(np.abs(dec.astype(int) - ref.astype(int)).max()) <= 1
+
+
+def test_warp_parity_sweep_vs_cv2(jpeg_image):
+    """Fused decode+warp matches cv2.warpAffine(INTER_LINEAR) within the
+    fixed-point quantization of cv2 across rotation/scale/flip, including
+    crops extending past the image border."""
+    data, ref = jpeg_image
+    h, w = ref.shape[:2]
+    out_size = (96, 128)
+    for rot in (-90.0, -40.0, 0.0, 15.0, 90.0, 180.0):
+        for scale in ((40.0, 50.0), (150.0, 200.0), (500.0, 700.0)):
+            mat = affine_matrix_np(np.array([w / 2.0, h / 2.0]),
+                                   np.array(scale), out_size, rot_deg=rot)
+            for m in (mat, compose_flip(mat, w)):
+                cv = cv2.warpAffine(ref, m.astype(np.float64), out_size,
+                                    flags=cv2.INTER_LINEAR)
+                nat = native.decode_warp(data, m, out_size)
+                d = np.abs(cv.astype(int) - nat.astype(int))
+                assert d.max() <= 2, (rot, scale, d.max())
+
+
+def test_warp_fully_off_image_is_zero(jpeg_image):
+    data, _ = jpeg_image
+    mat = affine_matrix_np(np.array([-9000.0, -9000.0]),
+                           np.array([50.0, 50.0]), (64, 64))
+    assert (native.decode_warp(data, mat, (64, 64)) == 0).all()
+
+
+def test_fast_mode_close_on_downsampling_crop(jpeg_image):
+    """DCT-scaled decode is a different (better-antialiased) low-pass
+    resample; on smooth content it stays close to the exact path."""
+    data, ref = jpeg_image
+    h, w = ref.shape[:2]
+    # Crop covering the whole image -> ~3.3x downsample -> 1/2 DCT scale.
+    mat = affine_matrix_np(np.array([w / 2.0, h / 2.0]),
+                           np.array([float(w), float(h) * 4 / 3]),
+                           (96, 128), rot_deg=10.0)
+    exact = native.decode_warp(data, mat, (96, 128))
+    fast = native.decode_warp(data, mat, (96, 128), fast=True)
+    d = np.abs(exact.astype(int) - fast.astype(int))
+    assert d.mean() < 4.0 and d.max() < 64
+
+
+def test_batch_matches_single_and_is_thread_deterministic(jpeg_image):
+    data, ref = jpeg_image
+    h, w = ref.shape[:2]
+    mats = np.stack([
+        affine_matrix_np(np.array([w / 2.0, h / 2.0]),
+                         np.array([100.0 + 30 * i, 140.0 + 40 * i]),
+                         (96, 128), rot_deg=15.0 * i - 30)
+        for i in range(5)])
+    singles = np.stack([native.decode_warp(data, mats[i], (96, 128))
+                        for i in range(5)])
+    for nthreads in (1, 4):
+        batch = native.decode_warp_batch([data] * 5, mats, (96, 128),
+                                         nthreads=nthreads)
+        np.testing.assert_array_equal(batch, singles)
+
+
+def test_batch_raises_on_corrupt_sample(jpeg_image):
+    data, _ = jpeg_image
+    mats = np.stack([np.eye(2, 3, dtype=np.float32)] * 2)
+    with pytest.raises(ValueError, match="index 1"):
+        native.decode_warp_batch([data, b"not a jpeg"], mats, (32, 32))
+
+
+def test_singular_matrix_rejected(jpeg_image):
+    data, _ = jpeg_image
+    bad = np.zeros((2, 3), np.float32)
+    with pytest.raises(ValueError):
+        native.decode_warp(data, bad, (32, 32))
+
+
+def test_env_kill_switch():
+    """IPE_NATIVE_LOADER=0 disables the loader (checked in a fresh
+    interpreter because availability is cached per-process)."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from infantposeestimation_gaussianbias_tpu import native; "
+         "print(native.available())"],
+        env={**os.environ, "IPE_NATIVE_LOADER": "0", "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=120)
+    assert r.stdout.strip() == "False", r.stderr
+
+
+@pytest.fixture(scope="module")
+def disk_dataset(tmp_path_factory):
+    from infantposeestimation_gaussianbias_tpu.data import (
+        synthetic_coco_dataset)
+    from infantposeestimation_gaussianbias_tpu.schemas import COCO17
+
+    root = tmp_path_factory.mktemp("coco_native")
+    (root / "val2017").mkdir()
+    (root / "annotations").mkdir()
+    synth = synthetic_coco_dataset(
+        num_images=4, num_keypoints=17, image_dir=str(root / "val2017"),
+        seed=5, height=120, width=160,
+        keypoint_names=COCO17.keypoint_names, skeleton=COCO17.skeleton)
+    with open(root / "annotations" / "person_keypoints_val2017.json",
+              "w") as f:
+        json.dump(synth, f)
+    return str(root)
+
+
+def _build_ds(root: str, native_mode: str, is_train: bool):
+    from infantposeestimation_gaussianbias_tpu.config import get_config
+    from infantposeestimation_gaussianbias_tpu.data.coco import (
+        CocoIndex, build_records)
+    from infantposeestimation_gaussianbias_tpu.data.pipeline import (
+        PoseDataset)
+
+    cfg = get_config()
+    cfg.data.input_size = (64, 80)
+    cfg.data.native_loader = native_mode
+    ann = os.path.join(root, "annotations",
+                       "person_keypoints_val2017.json")
+    records = build_records(CocoIndex(ann))
+    return PoseDataset(cfg, records, os.path.join(root, "val2017"),
+                       is_train=is_train)
+
+
+@pytest.mark.parametrize("is_train", [False, True])
+def test_pipeline_native_matches_cv2_path(disk_dataset, is_train):
+    """PoseDataset with the native loader produces the same samples as
+    the cv2 path: identical labels/geometry, crops within warp
+    quantization tolerance."""
+    ds_nat = _build_ds(disk_dataset, "on", is_train)
+    ds_cv = _build_ds(disk_dataset, "off", is_train)
+    assert ds_nat._native and not ds_cv._native
+    for idx in range(len(ds_cv)):
+        a = ds_nat.get(idx, epoch=1, seed=7)
+        b = ds_cv.get(idx, epoch=1, seed=7)
+        for k in ("keypoints", "visible", "center", "scale"):
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+        d = np.abs(a["image_u8"].astype(int) - b["image_u8"].astype(int))
+        assert d.max() <= 2 and d.mean() < 0.1, (idx, d.max(), d.mean())
