@@ -79,15 +79,9 @@ class PoseDataset:
                 and "img_w" in rec
                 and rec["image_file"].lower().endswith((".jpg", ".jpeg")))
 
-    def get(self, idx: int, epoch: int = 0, seed: int = 0) -> Dict:
-        rec = self.records[idx]
-        use_native = self._native_eligible(rec)
-        if use_native:
-            img = None
-            img_w, img_h = rec["img_w"], rec["img_h"]
-        else:
-            img = self._load_image(rec)
-            img_h, img_w = img.shape[:2]
+    def _transform(self, rec: Dict, idx: int, epoch: int, seed: int,
+                   img_w: int, img_h: int) -> Dict:
+        """Augmentation params + crop matrix (no pixels touched)."""
         sample = {
             "keypoints": rec["keypoints"].copy(),
             "visible": rec["visible"].copy(),
@@ -97,11 +91,35 @@ class PoseDataset:
         if self.is_train:
             rng = np.random.RandomState(
                 (seed * 1_000_003 + epoch * 7919 + idx) % (2**31 - 1))
-            sample = T.train_transform(rng, sample, img_w,
-                                       self.schema, self.cfg.data,
-                                       img_h=img_h)
+            return T.train_transform(rng, sample, img_w, self.schema,
+                                     self.cfg.data, img_h=img_h)
+        return T.val_transform(sample, img_w, self.cfg.data)
+
+    def _finalize(self, rec: Dict, sample: Dict,
+                  crop: np.ndarray) -> Dict:
+        return {
+            "image_u8": crop,
+            "keypoints": sample["keypoints"].astype(np.float32),
+            "visible": sample["visible"].astype(np.float32),
+            "center": sample["center"].astype(np.float32),
+            "scale": sample["scale"].astype(np.float32),
+            "image_id": np.int64(rec["image_id"]),
+            "ann_id": np.int64(rec["ann_id"]),
+            "area": np.float32(rec["area"]),
+            # cross-host equalization padding (parallel.process_shard)
+            "pad": np.float32(bool(rec.get("_pad", False))),
+        }
+
+    def get(self, idx: int, epoch: int = 0, seed: int = 0) -> Dict:
+        rec = self.records[idx]
+        use_native = self._native_eligible(rec)
+        if use_native:
+            img = None
+            img_w, img_h = rec["img_w"], rec["img_h"]
         else:
-            sample = T.val_transform(sample, img_w, self.cfg.data)
+            img = self._load_image(rec)
+            img_h, img_w = img.shape[:2]
+        sample = self._transform(rec, idx, epoch, seed, img_w, img_h)
 
         W, H = self.cfg.data.input_size
         if use_native:
@@ -116,18 +134,37 @@ class PoseDataset:
 
             crop = cv2.warpAffine(img, sample["matrix"].astype(np.float64),
                                   (int(W), int(H)), flags=cv2.INTER_LINEAR)
-        return {
-            "image_u8": crop,
-            "keypoints": sample["keypoints"].astype(np.float32),
-            "visible": sample["visible"].astype(np.float32),
-            "center": sample["center"].astype(np.float32),
-            "scale": sample["scale"].astype(np.float32),
-            "image_id": np.int64(rec["image_id"]),
-            "ann_id": np.int64(rec["ann_id"]),
-            "area": np.float32(rec["area"]),
-            # cross-host equalization padding (parallel.process_shard)
-            "pad": np.float32(bool(rec.get("_pad", False))),
-        }
+        return self._finalize(rec, sample, crop)
+
+    def get_batch(self, idxs, epoch: int = 0, seed: int = 0,
+                  nthreads: int = 0) -> List[Dict]:
+        """Batch path: one native decode_warp_batch call (internal
+        std::thread pool, fully GIL-free) for every native-eligible
+        sample; the rest fall back to per-sample ``get``.  Identical
+        output to ``[get(i) for i in idxs]`` — same per-index RNG.
+        """
+        idxs = [int(i) for i in idxs]
+        nat = [i for i in idxs if self._native_eligible(self.records[i])]
+        if len(nat) < 2:  # nothing to batch
+            return [self.get(i, epoch, seed) for i in idxs]
+        from .. import native as native_mod
+
+        W, H = self.cfg.data.input_size
+        metas, jpegs = {}, []
+        for i in nat:
+            rec = self.records[i]
+            metas[i] = self._transform(rec, i, epoch, seed,
+                                       rec["img_w"], rec["img_h"])
+            path = os.path.join(self.image_root, rec["image_file"])
+            with open(path, "rb") as f:
+                jpegs.append(f.read())
+        mats = np.stack([metas[i]["matrix"] for i in nat])
+        crops = native_mod.decode_warp_batch(jpegs, mats, (W, H),
+                                             nthreads=nthreads)
+        out = {i: self._finalize(self.records[i], metas[i], crops[j])
+               for j, i in enumerate(nat)}
+        return [out[i] if i in out else self.get(i, epoch, seed)
+                for i in idxs]
 
 
 def _collate(samples: List[Dict], pad_to: int) -> Dict[str, np.ndarray]:
@@ -175,15 +212,26 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        use_batch = getattr(self.ds, "_native", False)
+
         def producer():
             try:
                 with cf.ThreadPoolExecutor(self.num_threads) as pool:
                     for idxs in batches:
                         if stop.is_set():
                             return
-                        samples = list(pool.map(
-                            lambda i: self.ds.get(int(i), epoch, self.seed),
-                            idxs))
+                        if use_batch:
+                            # One GIL-free C call per batch (its own
+                            # std::thread pool); non-JPEG samples fall
+                            # back to get() inside.
+                            samples = self.ds.get_batch(
+                                idxs, epoch, self.seed,
+                                nthreads=self.num_threads)
+                        else:
+                            samples = list(pool.map(
+                                lambda i: self.ds.get(int(i), epoch,
+                                                      self.seed),
+                                idxs))
                         q.put(_collate(samples, self.batch_size))
                 q.put(None)
             except BaseException as e:  # propagate to the consumer

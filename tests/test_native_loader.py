@@ -173,6 +173,61 @@ def _build_ds(root: str, native_mode: str, is_train: bool):
                        is_train=is_train)
 
 
+def test_get_batch_matches_per_sample(disk_dataset):
+    """The batched native path (one C call/batch) is bit-identical to
+    per-sample get(), including duplicated indices (epoch padding)."""
+    ds = _build_ds(disk_dataset, "on", is_train=True)
+    idxs = [0, 1, 2, 3, 3]
+    batch = ds.get_batch(idxs, epoch=2, seed=9)
+    for pos, i in enumerate(idxs):
+        ref = ds.get(i, epoch=2, seed=9)
+        for k, v in ref.items():
+            np.testing.assert_array_equal(batch[pos][k], v, err_msg=k)
+
+
+def test_get_batch_mixed_fallback(disk_dataset, tmp_path):
+    """Records the native loader can't serve (e.g. PNG files) fall back
+    to the cv2 path inside the same batch."""
+    import shutil
+
+    ds = _build_ds(disk_dataset, "on", is_train=False)
+    rec = ds.records[1]
+    src = os.path.join(ds.image_root, rec["image_file"])
+    png = cv2.imread(src)
+    cv2.imwrite(str(tmp_path / "conv.png"), png)
+    shutil.copy(str(tmp_path / "conv.png"),
+                os.path.join(ds.image_root, "conv.png"))
+    rec["image_file"] = "conv.png"
+    assert not ds._native_eligible(rec)
+    batch = ds.get_batch([0, 1, 2], epoch=0, seed=0)
+    for pos, i in enumerate([0, 1, 2]):
+        ref = ds.get(i, epoch=0, seed=0)
+        np.testing.assert_array_equal(batch[pos]["image_u8"],
+                                      ref["image_u8"])
+
+
+def test_dataloader_epoch_native_vs_cv2(disk_dataset):
+    """Full DataLoader epochs agree across loader backends (crops within
+    warp quantization, labels exact)."""
+    from infantposeestimation_gaussianbias_tpu.data.pipeline import (
+        DataLoader)
+
+    batches = {}
+    for mode in ("on", "off"):
+        ds = _build_ds(disk_dataset, mode, is_train=True)
+        dl = DataLoader(ds, batch_size=2, shuffle=True, seed=3)
+        batches[mode] = list(dl.epoch(epoch=1))
+    assert len(batches["on"]) == len(batches["off"])
+    for a, b in zip(batches["on"], batches["off"]):
+        assert set(a) == set(b)
+        for k in a:
+            if k == "image_u8":
+                d = np.abs(a[k].astype(int) - b[k].astype(int))
+                assert d.max() <= 2, d.max()
+            else:
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 @pytest.mark.parametrize("is_train", [False, True])
 def test_pipeline_native_matches_cv2_path(disk_dataset, is_train):
     """PoseDataset with the native loader produces the same samples as
