@@ -79,6 +79,14 @@ class PoseDataset:
                 and "img_w" in rec
                 and rec["image_file"].lower().endswith((".jpg", ".jpeg")))
 
+    def _read_bytes(self, rec: Dict) -> bytes:
+        path = os.path.join(self.image_root, rec["image_file"])
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except OSError as e:  # same contract as _load_image
+            raise ValueError(f"Failed to load image: {path}") from e
+
     def _transform(self, rec: Dict, idx: int, epoch: int, seed: int,
                    img_w: int, img_h: int) -> Dict:
         """Augmentation params + crop matrix (no pixels touched)."""
@@ -125,9 +133,7 @@ class PoseDataset:
         if use_native:
             from .. import native as native_mod
 
-            path = os.path.join(self.image_root, rec["image_file"])
-            with open(path, "rb") as f:
-                data = f.read()
+            data = self._read_bytes(rec)
             crop = native_mod.decode_warp(data, sample["matrix"], (W, H))
         else:
             import cv2
@@ -155,9 +161,7 @@ class PoseDataset:
             rec = self.records[i]
             metas[i] = self._transform(rec, i, epoch, seed,
                                        rec["img_w"], rec["img_h"])
-            path = os.path.join(self.image_root, rec["image_file"])
-            with open(path, "rb") as f:
-                jpegs.append(f.read())
+            jpegs.append(self._read_bytes(rec))
         mats = np.stack([metas[i]["matrix"] for i in nat])
         crops = native_mod.decode_warp_batch(jpegs, mats, (W, H),
                                              nthreads=nthreads)

@@ -213,30 +213,34 @@ int decode_warp_one(const unsigned char* buf, long len, const float* mat,
     const float by = v.ie * oy + v.if_;
     uint8_t* orow = out + static_cast<size_t>(oy) * out_w * 3;
 
-    // Solve for the ox range where floor(sx) in [0, w-2] and floor(sy)
-    // in [row0, row0+rows_n-2]:  sx in [0, w-1-eps), sy likewise.
-    float lo = 0.0f, hi = static_cast<float>(out_w);
-    const float eps = 1e-3f;
-    auto clip = [&](float slope, float icpt, float lo_v, float hi_v) {
-      // lo_v <= slope*ox + icpt < hi_v
-      if (std::fabs(slope) < 1e-12f) {
-        if (icpt < lo_v || icpt >= hi_v) lo = 1.0f, hi = 0.0f;
+    // Solve for the ox range where the 2x2 footprint is fully in
+    // bounds: sx in [eps, w-1-eps), sy in [row0+eps, row0+rows_n-1-eps).
+    // Double math + a generous eps margin so rounding can never put an
+    // "interior" pixel one texel out of bounds (border pixels just take
+    // the checked sampler).
+    double lo = 0.0, hi = static_cast<double>(out_w);
+    const double eps = 1e-2;
+    auto clip = [&](double slope, double icpt, double lo_v, double hi_v) {
+      // lo_v + eps <= slope*ox + icpt < hi_v - eps
+      if (std::fabs(slope) < 1e-12) {
+        if (icpt < lo_v + eps || icpt >= hi_v - eps) lo = 1.0, hi = 0.0;
         return;
       }
-      float a = (lo_v - icpt) / slope, b = (hi_v - eps - icpt) / slope;
+      double a = (lo_v + eps - icpt) / slope;
+      double b = (hi_v - eps - icpt) / slope;
       if (slope < 0) std::swap(a, b);
       lo = std::max(lo, a);
       hi = std::min(hi, b);
     };
-    clip(v.ia, bx, 0.0f, static_cast<float>(w - 1));
-    clip(v.id, by, static_cast<float>(row0),
-         static_cast<float>(row0 + rows_n - 1));
+    clip(v.ia, bx, 0.0, static_cast<double>(w - 1));
+    clip(v.id, by, static_cast<double>(row0),
+         static_cast<double>(row0 + rows_n - 1));
     int ilo = 0, ihi = 0;
     if (hi >= lo) {  // non-empty interior; empty -> whole row is border
       // Clamp BEFORE the int casts: lo/hi can be huge (near-zero
       // slope), and float->int casts outside int range are UB.
-      lo = std::min(std::max(lo, 0.0f), static_cast<float>(out_w));
-      hi = std::min(std::max(hi, 0.0f), static_cast<float>(out_w - 1));
+      lo = std::min(std::max(lo, 0.0), static_cast<double>(out_w));
+      hi = std::min(std::max(hi, 0.0), static_cast<double>(out_w - 1));
       ilo = std::min(out_w, std::max(0, static_cast<int>(std::ceil(lo))));
       ihi = std::min(out_w, static_cast<int>(std::floor(hi)) + 1);
       if (ihi < ilo) ihi = ilo;
@@ -245,20 +249,36 @@ int decode_warp_one(const unsigned char* buf, long len, const float* mat,
     for (int ox = 0; ox < ilo; ++ox)
       sample(band0, row0, rows_n, w, v.ia * ox + bx, v.id * ox + by,
              orow + static_cast<size_t>(ox) * 3);
-    for (int ox = ilo; ox < ihi; ++ox) {
-      const float sx = v.ia * ox + bx;
-      const float sy = v.id * ox + by;
-      const int x0 = static_cast<int>(sx);  // sx >= 0 in the interior
-      const int y0 = static_cast<int>(sy);
-      const float fx = sx - x0, fy = sy - y0;
-      const uint8_t* p0 =
-          band0 + (static_cast<size_t>(y0 - row0) * w + x0) * 3;
-      const uint8_t* p1 = p0 + static_cast<size_t>(w) * 3;
-      uint8_t* o = orow + static_cast<size_t>(ox) * 3;
-      for (int c = 0; c < 3; ++c) {
-        const float top = p0[c] + fx * (p0[c + 3] - p0[c]);
-        const float bot = p1[c] + fx * (p1[c + 3] - p1[c]);
-        o[c] = static_cast<uint8_t>(top + fy * (bot - top) + 0.5f);
+    // Interior: incremental 32.32 fixed-point stepping (exact, no
+    // per-pixel float->int conversion) with 15-bit blend weights —
+    // intermediate quantization error < 1 intensity level.
+    {
+      const double S = 4294967296.0;  // 2^32
+      int64_t X = llround((static_cast<double>(v.ia) * ilo + bx) * S);
+      int64_t Y = llround((static_cast<double>(v.id) * ilo + by) * S);
+      const int64_t dX = llround(static_cast<double>(v.ia) * S);
+      const int64_t dY = llround(static_cast<double>(v.id) * S);
+      const int64_t R0 = static_cast<int64_t>(row0) << 32;
+      for (int ox = ilo; ox < ihi; ++ox) {
+        const int x0 = static_cast<int>(X >> 32);
+        const int yb = static_cast<int>((Y - R0) >> 32);  // band row
+        const uint32_t fx = static_cast<uint32_t>(X >> 17) & 0x7fff;
+        const uint32_t fy = static_cast<uint32_t>(Y >> 17) & 0x7fff;
+        const uint32_t gx = 0x8000 - fx, gy = 0x8000 - fy;
+        const uint8_t* p0 =
+            band0 + (static_cast<size_t>(yb) * w + x0) * 3;
+        const uint8_t* p1 = p0 + static_cast<size_t>(w) * 3;
+        uint8_t* o = orow + static_cast<size_t>(ox) * 3;
+        for (int c = 0; c < 3; ++c) {
+          // horizontal blends at 8.15, reduced to 8.7 (15-bit) so the
+          // vertical 15-bit blend fits in uint32
+          const uint32_t top = (p0[c] * gx + p0[c + 3] * fx) >> 8;
+          const uint32_t bot = (p1[c] * gx + p1[c + 3] * fx) >> 8;
+          const uint32_t val = (top * gy + bot * fy + (1u << 21)) >> 22;
+          o[c] = static_cast<uint8_t>(val > 255u ? 255u : val);
+        }
+        X += dX;
+        Y += dY;
       }
     }
     for (int ox = ihi; ox < out_w; ++ox)

@@ -26,3 +26,6 @@ run w48_384 3600 env BENCH_INPUT=288,384 BENCH_MODEL=hrnet_w48 python bench.py
 
 # 4. XLA-flags A/B on the headline config.
 run xla_flags 7200 python -m infantposeestimation_gaussianbias_tpu.tools.probe_xla_flags
+
+# 5. Native host-loader probe (CPU-only; just needs a quiet box).
+run native_loader 1200 python -m infantposeestimation_gaussianbias_tpu.tools.probe_native_loader
