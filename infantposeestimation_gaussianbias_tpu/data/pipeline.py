@@ -50,6 +50,8 @@ class PoseDataset:
         if native is None:
             native = getattr(cfg.data, "native_loader", "auto")
         self._native = False
+        self._fast = bool(is_train
+                          and getattr(cfg.data, "native_fast", False))
         if native in ("auto", "on"):
             from .. import native as native_mod
 
@@ -134,7 +136,8 @@ class PoseDataset:
             from .. import native as native_mod
 
             data = self._read_bytes(rec)
-            crop = native_mod.decode_warp(data, sample["matrix"], (W, H))
+            crop = native_mod.decode_warp(data, sample["matrix"], (W, H),
+                                          fast=self._fast)
         else:
             import cv2
 
@@ -164,7 +167,8 @@ class PoseDataset:
             jpegs.append(self._read_bytes(rec))
         mats = np.stack([metas[i]["matrix"] for i in nat])
         crops = native_mod.decode_warp_batch(jpegs, mats, (W, H),
-                                             nthreads=nthreads)
+                                             nthreads=nthreads,
+                                             fast=self._fast)
         out = {i: self._finalize(self.records[i], metas[i], crops[j])
                for j, i in enumerate(nat)}
         return [out[i] if i in out else self.get(i, epoch, seed)

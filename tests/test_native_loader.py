@@ -173,6 +173,42 @@ def _build_ds(root: str, native_mode: str, is_train: bool):
                        is_train=is_train)
 
 
+def test_native_fast_knob(disk_dataset):
+    """data.native_fast applies DCT-scaled decode to TRAIN samples only;
+    crops stay close to the exact path, labels identical."""
+    from infantposeestimation_gaussianbias_tpu.config import get_config
+    from infantposeestimation_gaussianbias_tpu.data.coco import (
+        CocoIndex, build_records)
+    from infantposeestimation_gaussianbias_tpu.data.pipeline import (
+        PoseDataset)
+
+    cfg = get_config()
+    cfg.data.input_size = (48, 64)  # strong downsample -> DCT scaling on
+    cfg.data.native_loader = "on"
+    cfg.data.native_fast = True
+    ann = os.path.join(disk_dataset, "annotations",
+                       "person_keypoints_val2017.json")
+    records = build_records(CocoIndex(ann))
+    img_root = os.path.join(disk_dataset, "val2017")
+    ds_fast = PoseDataset(cfg, records, img_root, is_train=True)
+    assert ds_fast._fast
+    ds_val = PoseDataset(cfg, records, img_root, is_train=False)
+    assert not ds_val._fast  # eval always exact
+
+    exact = _build_ds(disk_dataset, "on", is_train=True)
+    exact.cfg.data.input_size = (48, 64)
+    for idx in range(2):
+        a = ds_fast.get(idx, epoch=0, seed=1)
+        b = exact.get(idx, epoch=0, seed=1)
+        np.testing.assert_array_equal(a["keypoints"], b["keypoints"])
+        d = np.abs(a["image_u8"].astype(int) - b["image_u8"].astype(int))
+        # The DCT path properly low-passes where exact bilinear aliases,
+        # so on high-frequency synthetic content they differ visibly —
+        # but far less than unrelated crops would (~85 mean for
+        # independent noise).  Geometry must agree.
+        assert d.mean() < 25.0
+
+
 def test_get_batch_matches_per_sample(disk_dataset):
     """The batched native path (one C call/batch) is bit-identical to
     per-sample get(), including duplicated indices (epoch padding)."""
