@@ -128,9 +128,9 @@ def _decode_image(body: bytes, content_type: str) -> np.ndarray:
         if arr.ndim != 3 or arr.shape[-1] != 3:
             raise ValueError(f"npy frame must be (H, W, 3), got {arr.shape}")
         return np.ascontiguousarray(arr, np.uint8)
-    # JPEG bodies: native single-pass decode straight to RGB (no
+    # JPEG/PNG bodies: native single-pass decode straight to RGB (no
     # BGR->RGB copy); other formats / no native build -> cv2.
-    if body[:3] == b"\xff\xd8\xff":
+    if body[:3] == b"\xff\xd8\xff" or body[:4] == b"\x89PNG":
         from .. import native as native_mod
 
         if native_mod.available():

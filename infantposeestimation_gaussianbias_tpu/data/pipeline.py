@@ -79,7 +79,8 @@ class PoseDataset:
         return (self._native
                 and self._cache is None
                 and "img_w" in rec
-                and rec["image_file"].lower().endswith((".jpg", ".jpeg")))
+                and rec["image_file"].lower().endswith(
+                    (".jpg", ".jpeg", ".png")))
 
     def _read_bytes(self, rec: Dict) -> bytes:
         path = os.path.join(self.image_root, rec["image_file"])

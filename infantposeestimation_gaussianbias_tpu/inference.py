@@ -331,12 +331,13 @@ class PoseInference:
                 continue
             path = os.path.join(directory, name)
             img = None
-            if use_native and name.lower().endswith((".jpg", ".jpeg")):
+            if use_native and name.lower().endswith(
+                    (".jpg", ".jpeg", ".png")):
                 try:  # single-pass decode straight to RGB
                     with open(path, "rb") as f:
                         img = native.decode_rgb(f.read())
                 except (ValueError, OSError):
-                    img = None  # fall through to cv2 (e.g. mislabeled PNG)
+                    img = None  # fall through to cv2 (mislabeled format)
             if img is None:
                 img = cv2.imread(path)
                 if img is None:

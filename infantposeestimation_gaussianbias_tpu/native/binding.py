@@ -37,7 +37,7 @@ def _lib_path() -> str:
 def _build(path: str) -> bool:
     tmp = path + f".tmp{os.getpid()}"
     cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-           _SRC, "-ljpeg", "-o", tmp]
+           _SRC, "-ljpeg", "-lpng", "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
@@ -69,8 +69,8 @@ def load() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
         lib.ipe_version.restype = ctypes.c_int
-        lib.ipe_jpeg_dims.restype = ctypes.c_int
-        lib.ipe_jpeg_dims.argtypes = [
+        lib.ipe_image_dims.restype = ctypes.c_int
+        lib.ipe_image_dims.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.ipe_decode_rgb.restype = ctypes.c_int
@@ -90,24 +90,29 @@ def available() -> bool:
     return load() is not None
 
 
-def jpeg_dims(data: bytes) -> Tuple[int, int]:
-    """(width, height) from the JPEG header only."""
+def image_dims(data: bytes) -> Tuple[int, int]:
+    """(width, height) from the JPEG/PNG header only."""
     lib = load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
     w = ctypes.c_int()
     h = ctypes.c_int()
-    if lib.ipe_jpeg_dims(data, len(data), ctypes.byref(w), ctypes.byref(h)):
-        raise ValueError("not a decodable JPEG")
+    if lib.ipe_image_dims(data, len(data), ctypes.byref(w),
+                          ctypes.byref(h)):
+        raise ValueError("not a decodable JPEG/PNG")
     return w.value, h.value
 
 
+jpeg_dims = image_dims  # backwards-compatible alias
+
+
 def decode_rgb(data: bytes) -> np.ndarray:
-    """Full JPEG decode to an (H, W, 3) uint8 RGB array."""
+    """Full JPEG/PNG decode to an (H, W, 3) uint8 RGB array (PNG alpha
+    composited over black)."""
     lib = load()
     if lib is None:
         raise RuntimeError("native loader unavailable")
-    w, h = jpeg_dims(data)
+    w, h = image_dims(data)
     out = np.empty((h, w, 3), np.uint8)
     if lib.ipe_decode_rgb(data, len(data), out.ctypes.data):
         raise ValueError("JPEG decode failed")
@@ -116,7 +121,7 @@ def decode_rgb(data: bytes) -> np.ndarray:
 
 def decode_warp_batch(jpegs, mats: np.ndarray, out_size: Tuple[int, int],
                       nthreads: int = 0, fast: bool = False) -> np.ndarray:
-    """Fused decode+warp: N JPEG byte strings + N forward 2x3 affines
+    """Fused decode+warp: N JPEG/PNG byte strings + N forward 2x3 affines
     (source image -> crop, data/transforms.py convention) -> (N, H, W, 3)
     uint8 RGB crops.  ``out_size`` is (width, height) like
     DataConfig.input_size.  ``fast`` enables DCT-scaled decode (training

@@ -29,6 +29,7 @@
 #include <cstdio>  // jpeglib.h needs FILE/size_t declared first
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <algorithm>
 #include <atomic>
@@ -126,88 +127,13 @@ inline void sample(const uint8_t* rows, int row0, int rows_n, int w,
   out[2] = static_cast<uint8_t>(std::min(255.0f, acc[2] + 0.5f));
 }
 
-// Decode one JPEG and warp it into `out` (out_h x out_w x 3, RGB u8).
-// Returns 0 on success.  `fast` enables DCT-domain downscaled decode
-// (numerically different low-pass resampling; training-aug only).
-int decode_warp_one(const unsigned char* buf, long len, const float* mat,
-                    int out_w, int out_h, unsigned char* out, int fast) {
-  Inv23 v = invert(mat);
-  if (!v.ok) return 2;  // singular matrix
-
-  jpeg_decompress_struct cinfo;
-  ErrMgr jerr;
-  cinfo.err = jpeg_std_error(&jerr.pub);
-  jerr.pub.error_exit = err_exit;
-  jerr.pub.emit_message = err_emit;
-  if (setjmp(jerr.jb)) {
-    jpeg_destroy_decompress(&cinfo);
-    return 1;  // corrupt / not a JPEG
-  }
-  jpeg_create_decompress(&cinfo);
-  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf),
-               static_cast<unsigned long>(len));
-  jpeg_read_header(&cinfo, TRUE);
-  cinfo.out_color_space = JCS_RGB;
-
-  if (fast) {
-    // Largest 1/k (k in 2,4,8) IDCT downscale that still samples the
-    // source at >= ~1 decoded px per crop px in both axes.
-    const float step = std::min(std::hypot(v.ia, v.id),
-                                std::hypot(v.ib, v.ie));
-    int k = 1;
-    while (k < 8 && step >= 2.0f * k) k *= 2;
-    if (k > 1) {
-      cinfo.scale_num = 8 / k;
-      cinfo.scale_denom = 8;
-      // Compose src->scaled (pixel-center model: xs = (x+0.5)*s - 0.5)
-      // into the inverse map so the warp reads scaled coordinates.
-      const float s = 1.0f / k, off = 0.5f * s - 0.5f;
-      v.ia *= s; v.ib *= s; v.ic = v.ic * s + off;
-      v.id *= s; v.ie *= s; v.if_ = v.if_ * s + off;
-    }
-  }
-
-  jpeg_start_decompress(&cinfo);
-  const int w = static_cast<int>(cinfo.output_width);
-  const int h = static_cast<int>(cinfo.output_height);
-  if (cinfo.output_components != 3) {
-    jpeg_abort_decompress(&cinfo);
-    jpeg_destroy_decompress(&cinfo);
-    return 3;
-  }
-
-  float fy0, fy1;
-  src_row_range(v, out_w, out_h, &fy0, &fy1);
-  const int row0 = std::max(0, static_cast<int>(std::floor(fy0)));
-  const int row1 = std::min(h - 1, static_cast<int>(std::ceil(fy1)));
-  if (row1 < row0) {
-    // Crop entirely outside the image: constant border.
-    std::memset(out, 0, static_cast<size_t>(out_w) * out_h * 3);
-    jpeg_abort_decompress(&cinfo);
-    jpeg_destroy_decompress(&cinfo);
-    return 0;
-  }
-
-  const int rows_n = row1 - row0 + 1;
-  std::vector<uint8_t> band(static_cast<size_t>(rows_n) * w * 3);
-  std::vector<uint8_t> scratch(static_cast<size_t>(w) * 3);
-  while (cinfo.output_scanline <= static_cast<JDIMENSION>(row1)) {
-    const int y = static_cast<int>(cinfo.output_scanline);
-    uint8_t* dst = (y >= row0)
-                       ? band.data() + static_cast<size_t>(y - row0) * w * 3
-                       : scratch.data();
-    JSAMPROW rowp = dst;
-    jpeg_read_scanlines(&cinfo, &rowp, 1);
-  }
-  // Early stop: skip the remaining scanlines' huffman+IDCT work.
-  jpeg_abort_decompress(&cinfo);
-  jpeg_destroy_decompress(&cinfo);
-
-  // Row-wise warp with an interior/border split: inside the interior ox
-  // range every 2x2 bilinear footprint is fully in-bounds, so the hot
-  // loop is branchless (the border columns fall back to the checked
-  // sampler).  Source coords advance linearly along a row.
-  const uint8_t* band0 = band.data();
+// Inverse-mapped bilinear warp of an RGB row band (rows [row0,
+// row0+rows_n) of a w-wide source) into `out` (out_h x out_w x 3).
+// Row-wise with an interior/border split: inside the interior ox range
+// every 2x2 bilinear footprint is fully in-bounds, so the hot loop is
+// branchless; border columns fall back to the checked sampler.
+void warp_band(const uint8_t* band0, int row0, int rows_n, int w,
+               const Inv23& v, int out_w, int out_h, uint8_t* out) {
   for (int oy = 0; oy < out_h; ++oy) {
     const float bx = v.ib * oy + v.ic;
     const float by = v.ie * oy + v.if_;
@@ -285,6 +211,120 @@ int decode_warp_one(const unsigned char* buf, long len, const float* mat,
       sample(band0, row0, rows_n, w, v.ia * ox + bx, v.id * ox + by,
              orow + static_cast<size_t>(ox) * 3);
   }
+}
+
+bool is_png(const unsigned char* buf, long len) {
+  return len >= 8 && png_sig_cmp(buf, 0, 8) == 0;
+}
+
+// Decode a PNG to tightly-packed RGB u8 via the libpng simplified API
+// (alpha composited over black, 16-bit reduced).  Returns 0 on success.
+int decode_png_rgb(const unsigned char* buf, long len, int* w, int* h,
+                   std::vector<uint8_t>* out) {
+  png_image im;
+  std::memset(&im, 0, sizeof(im));
+  im.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&im, buf,
+                                        static_cast<size_t>(len)))
+    return 1;
+  im.format = PNG_FORMAT_RGB;
+  *w = static_cast<int>(im.width);
+  *h = static_cast<int>(im.height);
+  out->resize(static_cast<size_t>(*w) * *h * 3);
+  if (!png_image_finish_read(&im, nullptr, out->data(), 0, nullptr)) {
+    png_image_free(&im);
+    return 1;
+  }
+  return 0;
+}
+
+// Decode one JPEG/PNG and warp it into `out` (out_h x out_w x 3, RGB
+// u8).  Returns 0 on success.  `fast` enables DCT-domain downscaled
+// decode (JPEG only; numerically different low-pass resampling;
+// training-aug only).
+int decode_warp_one(const unsigned char* buf, long len, const float* mat,
+                    int out_w, int out_h, unsigned char* out, int fast) {
+  Inv23 v = invert(mat);
+  if (!v.ok) return 2;  // singular matrix
+
+  if (is_png(buf, len)) {
+    int w = 0, h = 0;
+    std::vector<uint8_t> img;
+    if (decode_png_rgb(buf, len, &w, &h, &img)) return 1;
+    warp_band(img.data(), 0, h, w, v, out_w, out_h, out);
+    return 0;
+  }
+
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = err_exit;
+  jerr.pub.emit_message = err_emit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;  // corrupt / not a JPEG
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+
+  if (fast) {
+    // Largest 1/k (k in 2,4,8) IDCT downscale that still samples the
+    // source at >= ~1 decoded px per crop px in both axes.
+    const float step = std::min(std::hypot(v.ia, v.id),
+                                std::hypot(v.ib, v.ie));
+    int k = 1;
+    while (k < 8 && step >= 2.0f * k) k *= 2;
+    if (k > 1) {
+      cinfo.scale_num = 8 / k;
+      cinfo.scale_denom = 8;
+      // Compose src->scaled (pixel-center model: xs = (x+0.5)*s - 0.5)
+      // into the inverse map so the warp reads scaled coordinates.
+      const float s = 1.0f / k, off = 0.5f * s - 0.5f;
+      v.ia *= s; v.ib *= s; v.ic = v.ic * s + off;
+      v.id *= s; v.ie *= s; v.if_ = v.if_ * s + off;
+    }
+  }
+
+  jpeg_start_decompress(&cinfo);
+  const int w = static_cast<int>(cinfo.output_width);
+  const int h = static_cast<int>(cinfo.output_height);
+  if (cinfo.output_components != 3) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+
+  float fy0, fy1;
+  src_row_range(v, out_w, out_h, &fy0, &fy1);
+  const int row0 = std::max(0, static_cast<int>(std::floor(fy0)));
+  const int row1 = std::min(h - 1, static_cast<int>(std::ceil(fy1)));
+  if (row1 < row0) {
+    // Crop entirely outside the image: constant border.
+    std::memset(out, 0, static_cast<size_t>(out_w) * out_h * 3);
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+
+  const int rows_n = row1 - row0 + 1;
+  std::vector<uint8_t> band(static_cast<size_t>(rows_n) * w * 3);
+  std::vector<uint8_t> scratch(static_cast<size_t>(w) * 3);
+  while (cinfo.output_scanline <= static_cast<JDIMENSION>(row1)) {
+    const int y = static_cast<int>(cinfo.output_scanline);
+    uint8_t* dst = (y >= row0)
+                       ? band.data() + static_cast<size_t>(y - row0) * w * 3
+                       : scratch.data();
+    JSAMPROW rowp = dst;
+    jpeg_read_scanlines(&cinfo, &rowp, 1);
+  }
+  // Early stop: skip the remaining scanlines' huffman+IDCT work.
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  warp_band(band.data(), row0, rows_n, w, v, out_w, out_h, out);
   return 0;
 }
 
@@ -294,8 +334,20 @@ extern "C" {
 
 int ipe_version() { return 1; }
 
-// Header-only dimension read.  Returns 0 on success.
-int ipe_jpeg_dims(const unsigned char* buf, long len, int* w, int* h) {
+// Header-only dimension read (JPEG or PNG).  Returns 0 on success.
+int ipe_image_dims(const unsigned char* buf, long len, int* w, int* h) {
+  if (is_png(buf, len)) {
+    png_image im;
+    std::memset(&im, 0, sizeof(im));
+    im.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&im, buf,
+                                          static_cast<size_t>(len)))
+      return 1;
+    *w = static_cast<int>(im.width);
+    *h = static_cast<int>(im.height);
+    png_image_free(&im);
+    return 0;
+  }
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -315,9 +367,16 @@ int ipe_jpeg_dims(const unsigned char* buf, long len, int* w, int* h) {
   return 0;
 }
 
-// Full decode to tightly-packed RGB u8 (caller sizes `out` from
-// ipe_jpeg_dims).  Returns 0 on success.
+// Full decode (JPEG or PNG) to tightly-packed RGB u8 (caller sizes
+// `out` from ipe_image_dims).  Returns 0 on success.
 int ipe_decode_rgb(const unsigned char* buf, long len, unsigned char* out) {
+  if (is_png(buf, len)) {
+    int w = 0, h = 0;
+    std::vector<uint8_t> img;
+    if (decode_png_rgb(buf, len, &w, &h, &img)) return 1;
+    std::memcpy(out, img.data(), img.size());
+    return 0;
+  }
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -348,7 +407,7 @@ int ipe_decode_rgb(const unsigned char* buf, long len, unsigned char* out) {
   return 0;
 }
 
-// Fused decode+warp over a batch.  bufs/lens: n JPEG buffers; mats: n*6
+// Fused decode+warp over a batch.  bufs/lens: n JPEG/PNG buffers; mats: n*6
 // forward src->crop affines; out: n*out_h*out_w*3 u8; statuses: n ints
 // (0 = ok).  nthreads <= 0 -> hardware concurrency.  Returns the number
 // of failed samples.

@@ -73,6 +73,31 @@ def test_warp_parity_sweep_vs_cv2(jpeg_image):
                 assert d.max() <= 2, (rot, scale, d.max())
 
 
+def test_png_decode_and_dims(jpeg_image):
+    """PNG goes through libpng: lossless, so decode must be exact."""
+    _, ref = jpeg_image
+    ok, enc = cv2.imencode(".png", cv2.cvtColor(ref, cv2.COLOR_RGB2BGR))
+    assert ok
+    data = enc.tobytes()
+    assert native.image_dims(data) == (ref.shape[1], ref.shape[0])
+    np.testing.assert_array_equal(native.decode_rgb(data), ref)
+
+
+def test_png_decode_warp_matches_jpeg_path(jpeg_image):
+    """decode_warp dispatches PNG by magic bytes; warping the PNG of the
+    decoded JPEG equals warping the JPEG (same pixels in, same warp)."""
+    data, ref = jpeg_image
+    ok, enc = cv2.imencode(".png", cv2.cvtColor(ref, cv2.COLOR_RGB2BGR))
+    png = enc.tobytes()
+    h, w = ref.shape[:2]
+    mat = affine_matrix_np(np.array([w / 2.0, h / 2.0]),
+                           np.array([150.0, 200.0]), (96, 128),
+                           rot_deg=-25.0)
+    np.testing.assert_array_equal(
+        native.decode_warp(png, mat, (96, 128)),
+        native.decode_warp(data, mat, (96, 128)))
+
+
 def test_warp_fully_off_image_is_zero(jpeg_image):
     data, _ = jpeg_image
     mat = affine_matrix_np(np.array([-9000.0, -9000.0]),
@@ -222,18 +247,18 @@ def test_get_batch_matches_per_sample(disk_dataset):
 
 
 def test_get_batch_mixed_fallback(disk_dataset, tmp_path):
-    """Records the native loader can't serve (e.g. PNG files) fall back
+    """Records the native loader can't serve (e.g. BMP files) fall back
     to the cv2 path inside the same batch."""
     import shutil
 
     ds = _build_ds(disk_dataset, "on", is_train=False)
     rec = ds.records[1]
     src = os.path.join(ds.image_root, rec["image_file"])
-    png = cv2.imread(src)
-    cv2.imwrite(str(tmp_path / "conv.png"), png)
-    shutil.copy(str(tmp_path / "conv.png"),
-                os.path.join(ds.image_root, "conv.png"))
-    rec["image_file"] = "conv.png"
+    bmp = cv2.imread(src)
+    cv2.imwrite(str(tmp_path / "conv.bmp"), bmp)
+    shutil.copy(str(tmp_path / "conv.bmp"),
+                os.path.join(ds.image_root, "conv.bmp"))
+    rec["image_file"] = "conv.bmp"
     assert not ds._native_eligible(rec)
     batch = ds.get_batch([0, 1, 2], epoch=0, seed=0)
     for pos, i in enumerate([0, 1, 2]):
