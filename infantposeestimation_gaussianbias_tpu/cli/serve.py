@@ -130,10 +130,11 @@ def _decode_image(body: bytes, content_type: str) -> np.ndarray:
         return np.ascontiguousarray(arr, np.uint8)
     # JPEG/PNG bodies: native single-pass decode straight to RGB (no
     # BGR->RGB copy); other formats / no native build -> cv2.
-    if body[:3] == b"\xff\xd8\xff" or body[:4] == b"\x89PNG":
+    is_jpeg = body[:3] == b"\xff\xd8\xff"
+    if is_jpeg or body[:4] == b"\x89PNG":
         from .. import native as native_mod
 
-        if native_mod.available():
+        if native_mod.available() and (is_jpeg or native_mod.has_png()):
             return native_mod.decode_rgb(body)
     import cv2
 

@@ -76,11 +76,16 @@ class PoseDataset:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def _native_eligible(self, rec: Dict) -> bool:
-        return (self._native
-                and self._cache is None
-                and "img_w" in rec
-                and rec["image_file"].lower().endswith(
-                    (".jpg", ".jpeg", ".png")))
+        if not (self._native and self._cache is None and "img_w" in rec):
+            return False
+        name = rec["image_file"].lower()
+        if name.endswith((".jpg", ".jpeg")):
+            return True
+        if name.endswith(".png"):
+            from .. import native as native_mod
+
+            return native_mod.has_png()
+        return False
 
     def _read_bytes(self, rec: Dict) -> bytes:
         path = os.path.join(self.image_root, rec["image_file"])

@@ -331,8 +331,10 @@ class PoseInference:
                 continue
             path = os.path.join(directory, name)
             img = None
-            if use_native and name.lower().endswith(
-                    (".jpg", ".jpeg", ".png")):
+            lower = name.lower()
+            if use_native and (lower.endswith((".jpg", ".jpeg")) or
+                               (lower.endswith(".png")
+                                and native.has_png())):
                 try:  # single-pass decode straight to RGB
                     with open(path, "rb") as f:
                         img = native.decode_rgb(f.read())

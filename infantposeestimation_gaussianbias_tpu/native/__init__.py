@@ -7,7 +7,8 @@ cv2 path is used instead.
 """
 
 from .binding import (available, decode_rgb, decode_warp,
-                      decode_warp_batch, image_dims, jpeg_dims, load)
+                      decode_warp_batch, has_png, image_dims, jpeg_dims,
+                      load)
 
 __all__ = ["available", "decode_rgb", "decode_warp", "decode_warp_batch",
-           "image_dims", "jpeg_dims", "load"]
+           "has_png", "image_dims", "jpeg_dims", "load"]

@@ -36,18 +36,23 @@ def _lib_path() -> str:
 
 def _build(path: str) -> bool:
     tmp = path + f".tmp{os.getpid()}"
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
-           _SRC, "-ljpeg", "-lpng", "-o", tmp]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (OSError, subprocess.SubprocessError):
+    base = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+            _SRC]
+    # libpng is optional: a host with g++/libjpeg but no libpng keeps
+    # the full JPEG fast path (PNG falls back to cv2).
+    for extra in (["-ljpeg", "-lpng", "-DIPE_HAVE_PNG"], ["-ljpeg"]):
         try:
-            os.unlink(tmp)
-        except OSError:
-            pass
-        return False
-    os.replace(tmp, path)  # atomic: concurrent builders race harmlessly
-    return True
+            subprocess.run(base + extra + ["-o", tmp], check=True,
+                           capture_output=True, timeout=120)
+        except (OSError, subprocess.SubprocessError):
+            continue
+        os.replace(tmp, path)  # atomic: concurrent builders race fine
+        return True
+    try:
+        os.unlink(tmp)
+    except OSError:
+        pass
+    return False
 
 
 def load() -> Optional[ctypes.CDLL]:
@@ -69,6 +74,7 @@ def load() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
         lib.ipe_version.restype = ctypes.c_int
+        lib.ipe_has_png.restype = ctypes.c_int
         lib.ipe_image_dims.restype = ctypes.c_int
         lib.ipe_image_dims.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
@@ -88,6 +94,12 @@ def load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return load() is not None
+
+
+def has_png() -> bool:
+    """True when the build linked libpng (PNG decode supported)."""
+    lib = load()
+    return lib is not None and bool(lib.ipe_has_png())
 
 
 def image_dims(data: bytes) -> Tuple[int, int]:

@@ -29,7 +29,9 @@
 #include <cstdio>  // jpeglib.h needs FILE/size_t declared first
 
 #include <jpeglib.h>
+#ifdef IPE_HAVE_PNG
 #include <png.h>
+#endif
 
 #include <algorithm>
 #include <atomic>
@@ -213,30 +215,65 @@ void warp_band(const uint8_t* band0, int row0, int rows_n, int w,
   }
 }
 
+// Status codes shared by every entry point:
+//   0 ok, 1 corrupt/undecodable, 2 singular matrix, 3 unsupported
+//   components, 4 image too large, 5 internal error (allocation),
+//   6 PNG support not compiled in.
+constexpr uint64_t kMaxPixels = 1ull << 30;  // match cv2's decode guard
+
 bool is_png(const unsigned char* buf, long len) {
-  return len >= 8 && png_sig_cmp(buf, 0, 8) == 0;
+  static const unsigned char sig[8] = {0x89, 'P', 'N', 'G',
+                                       0x0d, 0x0a, 0x1a, 0x0a};
+  return len >= 8 && std::memcmp(buf, sig, 8) == 0;
 }
 
-// Decode a PNG to tightly-packed RGB u8 via the libpng simplified API
-// (alpha composited over black, 16-bit reduced).  Returns 0 on success.
-int decode_png_rgb(const unsigned char* buf, long len, int* w, int* h,
-                   std::vector<uint8_t>* out) {
+#ifdef IPE_HAVE_PNG
+// Decode a PNG to tightly-packed RGB u8 written into `out` (sized
+// w*h*3 by the caller via strip_into, or grown when out is a vector).
+// Alpha is STRIPPED, not composited — matching cv2.imdecode's
+// IMREAD_COLOR behavior so the native and fallback paths agree on RGBA
+// inputs.  Returns a status code.
+int decode_png_dims(const unsigned char* buf, long len, int* w, int* h) {
   png_image im;
   std::memset(&im, 0, sizeof(im));
   im.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_memory(&im, buf,
                                         static_cast<size_t>(len)))
     return 1;
-  im.format = PNG_FORMAT_RGB;
   *w = static_cast<int>(im.width);
   *h = static_cast<int>(im.height);
-  out->resize(static_cast<size_t>(*w) * *h * 3);
-  if (!png_image_finish_read(&im, nullptr, out->data(), 0, nullptr)) {
-    png_image_free(&im);
+  png_image_free(&im);
+  return (static_cast<uint64_t>(im.width) * im.height > kMaxPixels) ? 4
+                                                                    : 0;
+}
+
+int decode_png_rgb_into(const unsigned char* buf, long len, int* w,
+                        int* h, unsigned char* out) {
+  png_image im;
+  std::memset(&im, 0, sizeof(im));
+  im.version = PNG_IMAGE_VERSION;
+  if (!png_image_begin_read_from_memory(&im, buf,
+                                        static_cast<size_t>(len)))
     return 1;
+  if (static_cast<uint64_t>(im.width) * im.height > kMaxPixels) {
+    png_image_free(&im);
+    return 4;
+  }
+  *w = static_cast<int>(im.width);
+  *h = static_cast<int>(im.height);
+  const size_t n = static_cast<size_t>(*w) * *h;
+  im.format = PNG_FORMAT_RGBA;
+  std::vector<uint8_t> rgba(n * 4);
+  if (!png_image_finish_read(&im, nullptr, rgba.data(), 0, nullptr))
+    return 1;  // finish_read frees im on error
+  for (size_t i = 0; i < n; ++i) {  // strip alpha (cv2 IMREAD_COLOR)
+    out[i * 3 + 0] = rgba[i * 4 + 0];
+    out[i * 3 + 1] = rgba[i * 4 + 1];
+    out[i * 3 + 2] = rgba[i * 4 + 2];
   }
   return 0;
 }
+#endif  // IPE_HAVE_PNG
 
 // Decode one JPEG/PNG and warp it into `out` (out_h x out_w x 3, RGB
 // u8).  Returns 0 on success.  `fast` enables DCT-domain downscaled
@@ -248,11 +285,17 @@ int decode_warp_one(const unsigned char* buf, long len, const float* mat,
   if (!v.ok) return 2;  // singular matrix
 
   if (is_png(buf, len)) {
+#ifdef IPE_HAVE_PNG
     int w = 0, h = 0;
-    std::vector<uint8_t> img;
-    if (decode_png_rgb(buf, len, &w, &h, &img)) return 1;
+    if (int rc = decode_png_dims(buf, len, &w, &h)) return rc;
+    std::vector<uint8_t> img(static_cast<size_t>(w) * h * 3);
+    if (int rc = decode_png_rgb_into(buf, len, &w, &h, img.data()))
+      return rc;
     warp_band(img.data(), 0, h, w, v, out_w, out_h, out);
     return 0;
+#else
+    return 6;
+#endif
   }
 
   jpeg_decompress_struct cinfo;
@@ -291,6 +334,11 @@ int decode_warp_one(const unsigned char* buf, long len, const float* mat,
   jpeg_start_decompress(&cinfo);
   const int w = static_cast<int>(cinfo.output_width);
   const int h = static_cast<int>(cinfo.output_height);
+  if (static_cast<uint64_t>(w) * h > kMaxPixels) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 4;
+  }
   if (cinfo.output_components != 3) {
     jpeg_abort_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
@@ -332,21 +380,25 @@ int decode_warp_one(const unsigned char* buf, long len, const float* mat,
 
 extern "C" {
 
-int ipe_version() { return 1; }
+int ipe_version() { return 2; }
 
-// Header-only dimension read (JPEG or PNG).  Returns 0 on success.
+// Whether PNG support was compiled in (libpng present at build time).
+int ipe_has_png() {
+#ifdef IPE_HAVE_PNG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+// Header-only dimension read (JPEG or PNG).  Returns a status code.
 int ipe_image_dims(const unsigned char* buf, long len, int* w, int* h) {
   if (is_png(buf, len)) {
-    png_image im;
-    std::memset(&im, 0, sizeof(im));
-    im.version = PNG_IMAGE_VERSION;
-    if (!png_image_begin_read_from_memory(&im, buf,
-                                          static_cast<size_t>(len)))
-      return 1;
-    *w = static_cast<int>(im.width);
-    *h = static_cast<int>(im.height);
-    png_image_free(&im);
-    return 0;
+#ifdef IPE_HAVE_PNG
+    return decode_png_dims(buf, len, w, h);
+#else
+    return 6;
+#endif
   }
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
@@ -364,18 +416,23 @@ int ipe_image_dims(const unsigned char* buf, long len, int* w, int* h) {
   *w = static_cast<int>(cinfo.image_width);
   *h = static_cast<int>(cinfo.image_height);
   jpeg_destroy_decompress(&cinfo);
-  return 0;
+  return (static_cast<uint64_t>(*w) * *h > kMaxPixels) ? 4 : 0;
 }
 
 // Full decode (JPEG or PNG) to tightly-packed RGB u8 (caller sizes
-// `out` from ipe_image_dims).  Returns 0 on success.
+// `out` from ipe_image_dims).  Returns a status code.
 int ipe_decode_rgb(const unsigned char* buf, long len, unsigned char* out) {
   if (is_png(buf, len)) {
+#ifdef IPE_HAVE_PNG
     int w = 0, h = 0;
-    std::vector<uint8_t> img;
-    if (decode_png_rgb(buf, len, &w, &h, &img)) return 1;
-    std::memcpy(out, img.data(), img.size());
-    return 0;
+    try {
+      return decode_png_rgb_into(buf, len, &w, &h, out);
+    } catch (...) {  // bad_alloc must not cross the FFI boundary
+      return 5;
+    }
+#else
+    return 6;
+#endif
   }
   jpeg_decompress_struct cinfo;
   ErrMgr jerr;
@@ -427,8 +484,13 @@ int ipe_decode_warp_batch(const unsigned char** bufs, const long* lens,
     for (;;) {
       const int i = next.fetch_add(1);
       if (i >= n) return;
-      const int rc = decode_warp_one(bufs[i], lens[i], mats + 6 * i, out_w,
-                                     out_h, out + crop_sz * i, fast);
+      int rc;
+      try {
+        rc = decode_warp_one(bufs[i], lens[i], mats + 6 * i, out_w,
+                             out_h, out + crop_sz * i, fast);
+      } catch (...) {  // bad_alloc must not cross the FFI boundary
+        rc = 5;
+      }
       statuses[i] = rc;
       if (rc) failed.fetch_add(1);
     }

@@ -83,6 +83,39 @@ def test_png_decode_and_dims(jpeg_image):
     np.testing.assert_array_equal(native.decode_rgb(data), ref)
 
 
+def test_png_rgba_alpha_stripped_like_cv2(jpeg_image):
+    """RGBA PNGs: alpha is STRIPPED (not composited), matching
+    cv2.imdecode(IMREAD_COLOR) so native and fallback paths agree."""
+    if not native.has_png():
+        pytest.skip("libpng not linked")
+    _, ref = jpeg_image
+    rng = np.random.RandomState(1)
+    rgba = np.dstack([cv2.cvtColor(ref, cv2.COLOR_RGB2BGR),
+                      (rng.rand(*ref.shape[:2]) * 255).astype(np.uint8)])
+    ok, enc = cv2.imencode(".png", rgba)
+    assert ok
+    data = enc.tobytes()
+    via_cv2 = cv2.cvtColor(
+        cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR),
+        cv2.COLOR_BGR2RGB)
+    np.testing.assert_array_equal(native.decode_rgb(data), via_cv2)
+
+
+def test_oversize_header_rejected():
+    """A crafted header claiming a huge image errors cleanly instead of
+    attempting a multi-TB allocation (cv2-style pixel-count guard)."""
+    if not native.has_png():
+        pytest.skip("libpng not linked")
+    big = np.zeros((2, 2, 3), np.uint8)
+    ok, enc = cv2.imencode(".png", big)
+    data = bytearray(enc.tobytes())
+    # IHDR width/height live at fixed offsets 16..24 in a minimal PNG.
+    data[16:20] = (1_000_000).to_bytes(4, "big")
+    data[20:24] = (1_000_000).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        native.image_dims(bytes(data))
+
+
 def test_png_decode_warp_matches_jpeg_path(jpeg_image):
     """decode_warp dispatches PNG by magic bytes; warping the PNG of the
     decoded JPEG equals warping the JPEG (same pixels in, same warp)."""
