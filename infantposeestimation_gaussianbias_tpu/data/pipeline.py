@@ -231,22 +231,41 @@ class DataLoader:
         def producer():
             try:
                 with cf.ThreadPoolExecutor(self.num_threads) as pool:
-                    for idxs in batches:
-                        if stop.is_set():
-                            return
-                        if use_batch:
-                            # One GIL-free C call per batch (its own
-                            # std::thread pool); non-JPEG samples fall
-                            # back to get() inside.
-                            samples = self.ds.get_batch(
+                    if use_batch:
+                        # One GIL-free C call per batch (its own
+                        # std::thread pool); non-JPEG samples fall back
+                        # to get() inside.  Two batches stay in flight
+                        # so one batch's Python work (transforms, file
+                        # reads — GIL-held) overlaps the other's C
+                        # decode (GIL released by ctypes).
+                        from collections import deque
+
+                        def make(idxs):
+                            return self.ds.get_batch(
                                 idxs, epoch, self.seed,
                                 nthreads=self.num_threads)
-                        else:
+
+                        it = iter(batches)
+                        futs = deque()
+                        for idxs in (x for _, x in zip(range(2), it)):
+                            futs.append(pool.submit(make, idxs))
+                        while futs:
+                            if stop.is_set():
+                                return
+                            samples = futs.popleft().result()
+                            nxt = next(it, None)
+                            if nxt is not None:
+                                futs.append(pool.submit(make, nxt))
+                            q.put(_collate(samples, self.batch_size))
+                    else:
+                        for idxs in batches:
+                            if stop.is_set():
+                                return
                             samples = list(pool.map(
                                 lambda i: self.ds.get(int(i), epoch,
                                                       self.seed),
                                 idxs))
-                        q.put(_collate(samples, self.batch_size))
+                            q.put(_collate(samples, self.batch_size))
                 q.put(None)
             except BaseException as e:  # propagate to the consumer
                 q.put(e)
