@@ -19,9 +19,33 @@ def add_config_args(parser: argparse.ArgumentParser) -> None:
                         help="dotted-path overrides, e.g. train.lr=1e-3")
 
 
+def setup_runtime(cfg: Config) -> None:
+    """Process-level JAX runtime knobs shared by every CLI.
+
+    Currently: the persistent compilation cache (``cfg.compile_cache``),
+    so serving/training restarts reuse compiled XLA programs instead of
+    paying the 20-40s TPU compile each launch.  Safe to call before or
+    after backend initialization; a read-only cache directory degrades
+    to no caching rather than failing the CLI."""
+    if not cfg.compile_cache:
+        return
+    import os
+
+    import jax
+
+    path = os.path.abspath(os.path.expanduser(cfg.compile_cache))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def resolve_config(args: argparse.Namespace) -> Config:
     cfg = get_variant(args.variant)
     if args.config:
         cfg = load_yaml(args.config, base=cfg)
     apply_overrides(cfg, args.overrides)
+    setup_runtime(cfg)
     return cfg

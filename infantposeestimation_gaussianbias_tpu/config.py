@@ -229,6 +229,9 @@ class Config:
     exp_name: str = "hrnet_w32_coco_256x192"
     output_dir: str = "outputs/"
     log_dir: str = "logs/"
+    # Persistent XLA compilation cache shared by all CLIs ("" disables):
+    # serving/training restarts skip the 20-40s TPU compile.
+    compile_cache: str = "~/.cache/ipe_tpu/jax"
 
 
 # ---------------------------------------------------------------------------

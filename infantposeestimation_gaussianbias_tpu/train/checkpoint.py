@@ -81,6 +81,18 @@ class CheckpointManager:
             self._save(f"epoch_{epoch + 1}", state, meta)
         return best_metric, is_best
 
+    def save_interrupt(self, state, last_completed_epoch: int,
+                       best_metric: float) -> None:
+        """Preemption save (SIGTERM): write 'latest' stamped with the last
+        COMPLETED epoch, so resume replays the interrupted epoch from its
+        start — the loader is deterministic in (seed, epoch, index), making
+        the replay exact; the step counter simply carries the extra
+        mid-epoch steps already taken."""
+        self._save("latest", state,
+                   {"epoch": last_completed_epoch,
+                    "best": float(max(best_metric, -1e30)),
+                    "preempted": 1.0})
+
     def restore(self, state, name: str = "latest"):
         """Restore into the given (abstract or concrete) state; returns
         (state, metadata) or (state, None) when absent."""

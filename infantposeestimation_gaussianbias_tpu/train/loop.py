@@ -35,6 +35,40 @@ from .step import create_train_state, make_train_step
 
 log = logging.getLogger("ipe_tpu.train")
 
+# Preemption flag: set by SIGTERM (what spot/preemptible TPU VMs receive
+# shortly before eviction) while training runs, checked once per step.
+# Module-level so tests can trigger a deterministic "preemption" without
+# racing a real signal.  The reference has no equivalent — it loses all
+# progress since the last epoch-end save (/root/reference/train.py:461-470).
+import threading
+
+_PREEMPTED = threading.Event()
+
+
+class _PreemptionGuard:
+    """Install a SIGTERM handler that sets ``_PREEMPTED`` (main thread
+    only — signal handlers cannot be installed elsewhere); restore the
+    previous handler on exit.  On multi-host TPU pods the platform sends
+    the eviction signal to every worker, so each process reaches the
+    collective checkpoint save together."""
+
+    def __enter__(self):
+        import signal
+
+        self._prev = None
+        if threading.current_thread() is threading.main_thread():
+            self._prev = signal.signal(
+                signal.SIGTERM,
+                lambda signum, frame: _PREEMPTED.set())
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        if self._prev is not None:
+            signal.signal(signal.SIGTERM, self._prev)
+        return False
+
 
 def setup_logging(log_file: Optional[str] = None) -> None:
     handlers = [logging.StreamHandler()]
@@ -180,6 +214,23 @@ def train(cfg: Config, train_loader: DataLoader,
     profiling = False
     steps_done = 0
 
+    with _PreemptionGuard():
+        state, profiling = _epoch_loop(
+            cfg, state, step_fn, train_loader, val_loader, gt_dataset,
+            mesh, ckpt, start_epoch, epochs, best, mean, std, dropout_rng,
+            lr_schedule, writer, steps_per_epoch,
+            prof_start, prof_stop, prof_dir, profiling, steps_done)
+    if profiling:  # window ran past the end of training
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
+        log.info("profiler trace (truncated) written to %s", prof_dir)
+    return state
+
+
+def _epoch_loop(cfg, state, step_fn, train_loader, val_loader, gt_dataset,
+                mesh, ckpt, start_epoch, epochs, best, mean, std,
+                dropout_rng, lr_schedule, writer, steps_per_epoch,
+                prof_start, prof_stop, prof_dir, profiling, steps_done):
     for epoch in range(start_epoch, epochs):
         logger = MetricLogger()
         t0 = time.time()
@@ -194,6 +245,17 @@ def train(cfg: Config, train_loader: DataLoader,
             dropout_rng, sub = jax.random.split(dropout_rng)
             state, metrics = step_fn(state, db, sub)
             steps_done += 1
+            if _PREEMPTED.is_set():
+                if profiling:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                ckpt.save_interrupt(state, epoch - 1, best)
+                log.warning(
+                    "SIGTERM: saved preemption checkpoint at epoch %d "
+                    "step %d (resume replays epoch %d from its start)",
+                    epoch, i + 1, epoch)
+                return state, profiling
             if profiling and steps_done == prof_stop:
                 jax.block_until_ready(state.params)
                 jax.profiler.stop_trace()
@@ -226,9 +288,4 @@ def train(cfg: Config, train_loader: DataLoader,
         if is_best:
             log.info("new best %s=%.4f at epoch %d", cfg.train.save_best,
                      best, epoch)
-    if profiling:  # window ran past the end of training
-        jax.block_until_ready(state.params)
-        jax.profiler.stop_trace()
-        log.info("profiler trace (truncated at step %d) written to %s",
-                 steps_done, prof_dir)
-    return state
+    return state, profiling

@@ -117,6 +117,55 @@ def test_cli_train_synthetic(tmp_path):
     assert os.path.exists(str(tmp_path / "logs" / "metrics.jsonl"))
 
 
+def test_cli_train_preemption_resume(tmp_path):
+    """SIGTERM mid-training saves a 'latest' checkpoint stamped with the
+    last completed epoch; a relaunch resumes and finishes the run."""
+    from infantposeestimation_gaussianbias_tpu.cli.train import main
+    from infantposeestimation_gaussianbias_tpu.train import loop as tl
+
+    args = (["--synthetic", "8", "--epochs", "2", "--no-val"] + COMMON +
+            [f"train.checkpoint_dir={tmp_path}/ck",
+             "train.global_batch_size=4",
+             f"log_dir={tmp_path}/logs"])
+    tl._PREEMPTED.set()  # deterministic stand-in for a real SIGTERM
+    try:
+        main(args)
+    finally:
+        tl._PREEMPTED.clear()
+    meta_path = str(tmp_path / "ck" / "latest.meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["preempted"] == 1.0
+    assert meta["epoch"] == -1  # no epoch completed: replay from epoch 0
+
+    main(args)  # resume: must run to completion and overwrite 'latest'
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert "preempted" not in meta
+    assert meta["epoch"] == 1
+
+
+def test_preemption_guard_catches_sigterm():
+    """The guard installs a SIGTERM handler that sets the flag (instead of
+    killing the process) and restores the previous handler on exit."""
+    import signal
+
+    from infantposeestimation_gaussianbias_tpu.train import loop as tl
+
+    prev = signal.getsignal(signal.SIGTERM)
+    try:
+        with tl._PreemptionGuard():
+            os.kill(os.getpid(), signal.SIGTERM)
+            for _ in range(100):
+                if tl._PREEMPTED.is_set():
+                    break
+            assert tl._PREEMPTED.is_set()
+        assert signal.getsignal(signal.SIGTERM) is prev
+    finally:
+        tl._PREEMPTED.clear()
+        signal.signal(signal.SIGTERM, prev)
+
+
 def test_cli_train_profile_trace(tmp_path):
     """--profile captures an XProf trace of the requested step window
     (truncated stop when training ends inside the window)."""
