@@ -111,6 +111,28 @@ def main():
         dev_rate = reps * B / (time.perf_counter() - t0)
         print(f"device-only serving: {dev_rate:,.0f} crops/s", flush=True)
 
+        # transfer-only: H2D device_put of one resident HOST batch,
+        # repeated (each jnp.asarray of a numpy array is a fresh copy).
+        # On a tunneled dev box this leg — not the loader or the chip —
+        # is usually the binding constraint, and without measuring it
+        # the sustained/bound ratio misreads tunnel bandwidth as an
+        # overlap-machinery failure.  On a real TPU-VM host (PCIe-class
+        # H2D, GB/s) this leg is far above both other legs.
+        xfer_keys = ("image_u8", "center", "scale")
+        host_batch = {k: np.asarray(first_batch[k]) for k in xfer_keys}
+        batch_bytes = sum(v.nbytes for v in host_batch.values())
+        jax.block_until_ready([jnp.asarray(v) for v in host_batch.values()])
+        xfer_reps = 8
+        t0 = time.perf_counter()
+        for _ in range(xfer_reps):
+            jax.block_until_ready(
+                [jnp.asarray(v) for v in host_batch.values()])
+        xfer_dt = time.perf_counter() - t0
+        xfer_rate = xfer_reps * B / xfer_dt
+        xfer_mbps = xfer_reps * batch_bytes / xfer_dt / 1e6
+        print(f"transfer-only H2D: {xfer_rate:,.0f} crops/s "
+              f"({xfer_mbps:,.0f} MB/s)", flush=True)
+
         # sustained: loader feeding the device, overlapped.  Count VALID
         # rows (the eval loader pads the ragged tail batch to full B
         # with valid=0 duplicates) so the rate is comparable to the
@@ -128,15 +150,21 @@ def main():
                 infer.predict_stream(tracked(loader.epoch(1)))):
             n_done += valid_counts[i]
         sustained = n_done / (time.perf_counter() - t0)
-        bound = min(host_rate, dev_rate)
+        # Steady-state bound of the 3-stage pipeline (produce | H2D |
+        # compute) is the slowest leg; efficiency is sustained vs that.
+        legs = {"host": host_rate, "h2d-transfer": xfer_rate,
+                "device": dev_rate}
+        bound_name = min(legs, key=legs.get)
         print(f"sustained overlapped: {sustained:,.0f} crops/s "
               f"({n_done} crops)", flush=True)
         print(json.dumps({
             "host_only_crops_per_sec": round(host_rate, 1),
+            "h2d_transfer_crops_per_sec": round(xfer_rate, 1),
+            "h2d_transfer_mb_per_sec": round(xfer_mbps, 1),
             "device_only_crops_per_sec": round(dev_rate, 1),
             "sustained_crops_per_sec": round(sustained, 1),
-            "overlap_efficiency": round(sustained / bound, 3),
-            "bound": "host" if host_rate < dev_rate else "device",
+            "overlap_efficiency": round(sustained / legs[bound_name], 3),
+            "bound": bound_name,
             "batch_size": B,
             "precision": "int8-ptq" if quant else "bf16",
         }))

@@ -18,6 +18,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 COMBOS = {
     "default": "",
@@ -48,18 +49,35 @@ def main():
         env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "86400"
         print(f"== {name}: XLA_FLAGS={env.get('XLA_FLAGS', '')!r}",
               flush=True)
-        proc = subprocess.run([sys.executable, bench], env=env,
-                              capture_output=True, text=True, timeout=3600)
-        line = next((ln for ln in proc.stdout.splitlines()
-                     if ln.startswith("{")), None)
-        if proc.returncode != 0 or line is None:
-            print(f"   FAILED rc={proc.returncode}: "
-                  f"{proc.stderr.strip()[-400:]}", flush=True)
+        # The tunnel releases the previous bench's client session lazily
+        # (tens of seconds after process exit); a fresh bench that attaches
+        # during that window reports "device unreachable". Retry the combo
+        # with a settle delay instead of dropping it.
+        r = None
+        for attempt in range(4):
+            if attempt:
+                print(f"   settle retry {attempt} in 90s...", flush=True)
+                time.sleep(90)
+            proc = subprocess.run([sys.executable, bench], env=env,
+                                  capture_output=True, text=True,
+                                  timeout=3600)
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if proc.returncode != 0 or line is None:
+                print(f"   FAILED rc={proc.returncode}: "
+                      f"{proc.stderr.strip()[-400:]}", flush=True)
+                continue
+            got = json.loads(line)
+            if "error" in got:
+                print(f"   bench error: {got['error']}", flush=True)
+                continue
+            r = got
+            break
+        if r is None:
             continue
-        r = json.loads(line)
         results[name] = r["value"]
-        print(f"   {r['value']:,.1f} crops/s ({r['ms_per_batch']} ms/batch)",
-              flush=True)
+        print(f"   {r['value']:,.1f} crops/s "
+              f"({r.get('ms_per_batch', '?')} ms/batch)", flush=True)
 
     if "default" in results:
         base = results["default"]
