@@ -165,6 +165,12 @@ def make_server(infer: PoseInference, host: str = "127.0.0.1",
     }
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 keep-alive: every response carries Content-Length, so
+        # persistent connections are safe — without this the HTTP/1.0
+        # default closes the socket after each response and clients that
+        # reuse connections see ECONNRESET on their next request.
+        protocol_version = "HTTP/1.1"
+
         def _send(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
             self.send_response(code)

@@ -198,17 +198,46 @@ class PoseInference:
 
     # -- public API --------------------------------------------------------
 
+    @staticmethod
+    def _bucket_rows(n: int) -> int:
+        """Next power-of-two batch bucket.
+
+        ``predict_batch`` callers form arbitrary batch sizes (the serve
+        CLI's micro-batcher drains whatever burst arrived; directory
+        inference chunks ragged groups) and jax.jit retraces per distinct
+        leading dimension — under concurrent load that is a compile storm
+        (tens of multi-second compiles). Padding every batch up to a
+        power-of-two bucket caps the program count at log2(max_batch)+1
+        for ≤2x padding compute on the worst-case row.
+        """
+        return 1 << max(0, int(n - 1).bit_length())
+
     def predict_batch(self, frames: np.ndarray, bboxes: np.ndarray
                       ) -> Tuple[np.ndarray, np.ndarray]:
         """frames (B, H, W, 3) RGB uint8 (equal size); bboxes (B, 4) xyxy.
 
         Returns keypoints (B, K, 2) in frame coordinates and scores (B, K).
+
+        Frames cross host->device in their native dtype (uint8 for the
+        documented contract — 4x fewer H2D bytes than a host-side float
+        cast; the fused pipeline casts on device) and the batch is padded
+        to a power-of-two bucket (see ``_bucket_rows``), with outputs
+        trimmed back to the caller's count.
         """
         bboxes = np.asarray(bboxes, np.float32)
         n = bboxes.shape[0]
         centers = (bboxes[:, :2] + bboxes[:, 2:]) / 2.0
         scales = (bboxes[:, 2:] - bboxes[:, :2]) * self.cfg.data.bbox_padding
-        frames_j = self._place_rows(np.asarray(frames, np.float32))
+        frames = np.asarray(frames)
+        pad = self._bucket_rows(n) - n
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)])
+            centers = np.concatenate(
+                [centers, np.repeat(centers[-1:], pad, axis=0)])
+            scales = np.concatenate(
+                [scales, np.repeat(scales[-1:], pad, axis=0)])
+        frames_j = self._place_rows(frames)
         centers_j = self._place_rows(centers)
         scales_j = self._place_rows(scales)
         self._maybe_calibrate(frames_j, centers_j, scales_j)

@@ -75,9 +75,16 @@ def main():
 
     infer.predict_batch = tracked_predict
 
-    # Pre-compile the serving jit for the frame shape clients will send.
-    warm = np.zeros((1, side, side, 3), np.uint8)
-    real_predict(warm, np.asarray([[0, 0, side, side]], np.float32))
+    # Pre-compile the serving jit for every power-of-two bucket at the
+    # frame shape clients will send (predict_batch pads to these buckets,
+    # so this is the complete program set the run can hit).
+    b = 1
+    while b <= max_batch:
+        warm = np.zeros((b, side, side, 3), np.uint8)
+        bbox = np.tile(np.asarray([[0, 0, side, side]], np.float32), (b, 1))
+        real_predict(warm, bbox)
+        b *= 2
+    batch_sizes.clear()
 
     server, batcher = make_server(infer, host="127.0.0.1", port=0,
                                   max_batch=max_batch, window_ms=window_ms)

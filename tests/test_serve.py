@@ -100,6 +100,30 @@ def test_concurrent_requests_micro_batch(server):
             np.asarray(payload["keypoints"]), ref_k[i], atol=0.011)
 
 
+def test_batch_size_bucketing_caps_compiles():
+    """Arbitrary batch sizes ride power-of-two buckets: results are
+    row-exact across different request sizes and the pipeline compiles
+    one program per bucket, not one per size (the micro-batcher forms
+    arbitrary burst sizes — without bucketing that is a compile storm)."""
+    assert [PoseInference._bucket_rows(n) for n in (1, 2, 3, 5, 8, 9)] == \
+        [1, 2, 4, 8, 8, 16]
+    infer = PoseInference(_tiny_cfg(), fold=False)
+    rng = np.random.RandomState(2)
+    frames = rng.randint(0, 255, (7, 64, 96, 3), np.uint8)
+    bboxes = np.asarray([[0, 0, 96, 64]] * 7, np.float32)
+    full_k, full_s = infer.predict_batch(frames, bboxes)          # bucket 8
+    part_k, part_s = infer.predict_batch(frames[:5], bboxes[:5])  # bucket 8
+    np.testing.assert_allclose(part_k, full_k[:5], atol=1e-6)
+    np.testing.assert_allclose(part_s, full_s[:5], atol=1e-6)
+    cache_size = getattr(infer._jit_pipeline, "_cache_size", None)
+    if cache_size is not None:
+        assert cache_size() == 1  # sizes 7 and 5 shared one program
+    k3, _ = infer.predict_batch(frames[:3], bboxes[:3])           # bucket 4
+    np.testing.assert_allclose(k3, full_k[:3], atol=1e-6)
+    if cache_size is not None:
+        assert cache_size() == 2
+
+
 def test_load_calibration_crops(tmp_path):
     """--calibration-dir images become normalized model-input crops."""
     cv2 = pytest.importorskip("cv2")
