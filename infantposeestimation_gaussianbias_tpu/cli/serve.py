@@ -61,12 +61,23 @@ class MicroBatcher:
     """
 
     def __init__(self, infer: PoseInference, max_batch: int = 64,
-                 window_s: float = 0.005):
+                 window_s: float = 0.005, depth: int = 2):
         self.infer = infer
         self.max_batch = max_batch
         self.window_s = window_s
         self.q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        # Pipelined dispatch: the drain thread hands each shape-group to
+        # a small pool so batch N+1 forms and dispatches while batch N is
+        # still on device / converting to numpy (a single blocking
+        # predict_batch would idle the device between batches). `depth`
+        # bounds in-flight batches — enough to overlap, small enough that
+        # per-request latency stays one batch deep.
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=max(1, depth),
+                                        thread_name_prefix="ipe-dispatch")
+        self._inflight = threading.Semaphore(max(1, depth))
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -83,6 +94,7 @@ class MicroBatcher:
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        self._pool.shutdown(wait=False)
 
     def _drain(self) -> list:
         try:
@@ -99,6 +111,21 @@ class MicroBatcher:
                 break
         return batch
 
+    def _predict_group(self, members: list) -> None:
+        try:
+            frames = np.stack([p.frame for p in members])
+            bboxes = np.stack([p.bbox for p in members])
+            kpts, scores = self.infer.predict_batch(frames, bboxes)
+            for i, p in enumerate(members):
+                p.result = (kpts[i], scores[i])
+        except Exception as e:  # report, don't kill the server
+            for p in members:
+                p.error = e
+        finally:
+            for p in members:
+                p.done.set()
+            self._inflight.release()
+
     def _run(self):
         while not self._stop.is_set():
             batch = self._drain()
@@ -108,18 +135,8 @@ class MicroBatcher:
             for p in batch:
                 groups.setdefault(p.frame.shape, []).append(p)
             for members in groups.values():
-                try:
-                    frames = np.stack([p.frame for p in members])
-                    bboxes = np.stack([p.bbox for p in members])
-                    kpts, scores = self.infer.predict_batch(frames, bboxes)
-                    for i, p in enumerate(members):
-                        p.result = (kpts[i], scores[i])
-                except Exception as e:  # report, don't kill the server
-                    for p in members:
-                        p.error = e
-                finally:
-                    for p in members:
-                        p.done.set()
+                self._inflight.acquire()
+                self._pool.submit(self._predict_group, members)
 
 
 def _decode_image(body: bytes, content_type: str) -> np.ndarray:

@@ -124,6 +124,50 @@ def test_batch_size_bucketing_caps_compiles():
         assert cache_size() == 2
 
 
+def test_pipelined_dispatch_overlaps_batches():
+    """The dispatcher hands groups to a depth-2 pool: batch N+1 must
+    enter predict_batch while batch N is still in flight (a single
+    blocking dispatcher would idle the device between batches), and
+    in-flight stays bounded by the configured depth."""
+    from infantposeestimation_gaussianbias_tpu.cli.serve import MicroBatcher
+
+    lock = threading.Lock()
+    state = {"now": 0, "peak": 0}
+    entered = threading.Barrier(2, action=lambda: None)
+
+    class SlowInfer:
+        def predict_batch(self, frames, bboxes):
+            with lock:
+                state["now"] += 1
+                state["peak"] = max(state["peak"], state["now"])
+            try:
+                entered.wait(timeout=30)  # both batches inside at once
+            except threading.BrokenBarrierError:
+                pass
+            import time
+
+            time.sleep(0.05)
+            with lock:
+                state["now"] -= 1
+            n = len(frames)
+            return np.zeros((n, 17, 2)), np.ones((n, 17))
+
+    mb = MicroBatcher(SlowInfer(), max_batch=4, window_s=0.0, depth=2)
+    try:
+        frames = [np.zeros((8 * (1 + i % 2), 8, 3), np.uint8)
+                  for i in range(4)]  # two shapes -> two groups per drain
+        bbox = np.asarray([0, 0, 8, 8], np.float32)
+        threads = [threading.Thread(target=mb.submit, args=(f, bbox))
+                   for f in frames]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        mb.stop()
+    assert state["peak"] == 2  # overlapped, and bounded by depth
+
+
 def test_load_calibration_crops(tmp_path):
     """--calibration-dir images become normalized model-input crops."""
     cv2 = pytest.importorskip("cv2")
