@@ -126,17 +126,39 @@ class MicroBatcher:
                 p.done.set()
             self._inflight.release()
 
+    def _acquire_slot(self) -> bool:
+        while not self._stop.is_set():
+            if self._inflight.acquire(timeout=0.1):
+                return True
+        return False
+
     def _run(self):
         while not self._stop.is_set():
+            # Back-pressure: take a dispatch slot BEFORE draining. While
+            # the pipeline is full the queue keeps accumulating, so the
+            # next drain forms one large batch instead of many small ones
+            # (measured on the tunnel box: eager draining halved
+            # throughput by doubling the per-batch fixed dispatch cost).
+            if not self._acquire_slot():
+                return
             batch = self._drain()
             if not batch:
+                self._inflight.release()
                 continue
             groups: dict = {}
             for p in batch:
                 groups.setdefault(p.frame.shape, []).append(p)
+            first = True
             for members in groups.values():
-                self._inflight.acquire()
+                if not first:
+                    if not self._acquire_slot():
+                        # shutting down: fail the stragglers loudly
+                        for p in members:
+                            p.error = RuntimeError("server stopping")
+                            p.done.set()
+                        continue
                 self._pool.submit(self._predict_group, members)
+                first = False
 
 
 def _decode_image(body: bytes, content_type: str) -> np.ndarray:
