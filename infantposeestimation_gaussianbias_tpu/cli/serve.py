@@ -185,7 +185,7 @@ def _decode_image(body: bytes, content_type: str) -> np.ndarray:
 
 def make_server(infer: PoseInference, host: str = "127.0.0.1",
                 port: int = 8000, max_batch: int = 64,
-                window_ms: float = 5.0):
+                window_ms: float = 5.0, depth: int = 2):
     """Build (but don't start) the HTTP server; returns (server, batcher).
 
     Split from main() so tests can run it on an ephemeral port.
@@ -193,7 +193,7 @@ def make_server(infer: PoseInference, host: str = "127.0.0.1",
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     batcher = MicroBatcher(infer, max_batch=max_batch,
-                           window_s=window_ms / 1e3)
+                           window_s=window_ms / 1e3, depth=depth)
     names = list(infer.schema.keypoint_names)
     health = {
         "status": "ok",
@@ -301,6 +301,10 @@ def main(argv=None):
     parser.add_argument("--batch-window", type=float, default=5.0,
                         metavar="MS", help="how long the dispatcher waits "
                         "for a burst to accumulate (ms)")
+    parser.add_argument("--dispatch-depth", type=int, default=2,
+                        help="device batches in flight at once (1 = "
+                             "blocking dispatch; 2 overlaps batch N+1's "
+                             "host+H2D work with batch N's compute)")
     parser.add_argument("--no-fold", action="store_true",
                         help="disable the (exact) BN-fold serving transform")
     parser.add_argument("--int8", action="store_true",
@@ -351,7 +355,8 @@ def main(argv=None):
         infer.predict_batch(warm, np.asarray([[0, 0, W, H]], np.float32))
 
     server, batcher = make_server(infer, args.host, args.port,
-                                  args.max_batch, args.batch_window)
+                                  args.max_batch, args.batch_window,
+                                  depth=args.dispatch_depth)
     print(f"serving {cfg.model.backbone}+{cfg.model.head_type} on "
           f"http://{args.host}:{args.port}  (POST /predict, GET /healthz)")
     try:
