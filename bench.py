@@ -103,7 +103,6 @@ def build(batch_size: int, quant: bool = False, fold: bool = False,
         return coords, scores
 
     def chained(k: int):
-        @jax.jit
         def run(variables, frames, centers, scales):
             def body(i, carry):
                 c, acc = carry
@@ -119,7 +118,7 @@ def build(batch_size: int, quant: bool = False, fold: bool = False,
             coords, acc = jax.lax.fori_loop(0, k, body, (init_c, 0.0))
             return jnp.sum(coords) + acc  # scalar: readback is trivial
 
-        return run
+        return _maybe_compiler_options(jax.jit(run))
 
     rng = np.random.RandomState(0)
     frames = jnp.asarray(
@@ -130,6 +129,31 @@ def build(batch_size: int, quant: bool = False, fold: bool = False,
         np.repeat(rng.uniform(150, 400, (batch_size, 1)), 2, 1)
         .astype(np.float32))
     return chained, (variables, frames, centers, scales)
+
+
+def _maybe_compiler_options(jitted):
+    """BENCH_COMPILER_OPTIONS='{"xla_tpu_...": "true", ...}': compile the
+    jitted program with per-program PJRT compiler options.
+
+    TPU compiler flags cannot ride XLA_FLAGS here: that env var is parsed
+    by the CLIENT-side XLA (CPU + tunnel plugin), which hard-aborts on
+    unknown xla_tpu_* names — the TPU compiler lives on the server side
+    of the tunnel. jit(...).lower(...).compile(compiler_options=...)
+    ships the overrides in CompileOptions to the real backend, which is
+    also the portable (non-global, per-program) way to set them."""
+    opts = os.environ.get("BENCH_COMPILER_OPTIONS", "")
+    if not opts:
+        return jitted
+    parsed = json.loads(opts)
+
+    box = {}
+
+    def call(*args):
+        if "c" not in box:
+            box["c"] = jitted.lower(*args).compile(compiler_options=parsed)
+        return box["c"](*args)
+
+    return call
 
 
 def timed(fn, args, repeats: int) -> float:

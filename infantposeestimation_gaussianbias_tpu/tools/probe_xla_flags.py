@@ -1,11 +1,18 @@
-"""A/B serving throughput under candidate XLA_FLAGS combinations.
+"""A/B serving throughput under candidate TPU compiler options.
 
-XLA flags bind at backend initialization, so each combination runs
-bench.py in a fresh subprocess (one at a time — TPU executions from
-parallel processes serialize and would corrupt the timing).  The
-combinations probe the usual TPU levers for an inference-only program:
-the latency-hiding scheduler (overlaps HBM DMA with MXU compute) and
-aggressive fusion autotuning.
+TPU compiler flags cannot be passed through XLA_FLAGS in this
+environment: that env var is parsed by the CLIENT-side XLA (a CPU build
+plus the tunnel plugin), which hard-aborts on unknown ``xla_tpu_*``
+names — the TPU compiler lives on the server side of the tunnel.  The
+portable, per-program route is PJRT CompileOptions
+(``jit(...).lower(...).compile(compiler_options=...)``), which bench.py
+applies when ``BENCH_COMPILER_OPTIONS`` is set (a JSON dict of flag
+name -> value).  Each combination still runs in a fresh subprocess so
+combos cannot contaminate each other's process state.
+
+The combinations probe the usual TPU levers for an inference-only
+program: the latency-hiding scheduler (overlaps HBM DMA with MXU
+compute), read-write-bundle fusion, and the scoped-VMEM fusion budget.
 
 Usage: python -m infantposeestimation_gaussianbias_tpu.tools.probe_xla_flags
 Env: PROBE_BENCH_ENV extra "K=V,K=V" forwarded to bench.py (e.g.
@@ -21,12 +28,14 @@ import sys
 import time
 
 COMBOS = {
-    "default": "",
-    "latency_hiding": "--xla_tpu_enable_latency_hiding_scheduler=true",
-    "no_rematerialization": "--xla_tpu_enable_latency_hiding_scheduler=true "
-                            "--xla_tpu_rwb_fusion=false",
-    "async_collectives": "--xla_tpu_enable_latency_hiding_scheduler=true "
-                         "--xla_tpu_enable_async_collective_fusion=true",
+    "default": {},
+    "latency_hiding": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true"},
+    "no_rwb_fusion": {
+        "xla_tpu_enable_latency_hiding_scheduler": "true",
+        "xla_tpu_rwb_fusion": "false"},
+    "scoped_vmem_64m": {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"},
 }
 
 
@@ -40,15 +49,11 @@ def main():
         extra[k] = v
 
     results = {}
-    for name, flags in COMBOS.items():
+    for name, opts in COMBOS.items():
         env = dict(os.environ, **extra)
-        if flags:
-            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-        # Flag combos change the compiled program; keep the persistent
-        # cache from mixing entries across combos.
-        env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "86400"
-        print(f"== {name}: XLA_FLAGS={env.get('XLA_FLAGS', '')!r}",
-              flush=True)
+        if opts:
+            env["BENCH_COMPILER_OPTIONS"] = json.dumps(opts)
+        print(f"== {name}: compiler_options={opts}", flush=True)
         # The tunnel releases the previous bench's client session lazily
         # (tens of seconds after process exit); a fresh bench that attaches
         # during that window reports "device unreachable". Retry the combo
