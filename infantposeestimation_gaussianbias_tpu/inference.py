@@ -20,6 +20,7 @@ from .config import Config
 from .models import (build_model, flip_inference, serving_mode_supported,
                      validate_serving_mode)
 from .ops import decode as decode_ops
+from .ops.jitopt import serving_jit
 from .train.checkpoint import CheckpointManager
 from .train.step import create_train_state
 
@@ -97,7 +98,7 @@ class PoseInference:
                 # (shard_map'd Pallas W-MSA on hrformer backbones)
                 self._apply_fn = build_model(cfg, mesh=mesh).apply
         self._shard_variables()
-        self._jit_pipeline = jax.jit(self._pipeline)
+        self._jit_pipeline = serving_jit(self._pipeline)
 
     # -- mesh serving -------------------------------------------------------
 
@@ -138,7 +139,7 @@ class PoseInference:
         self._apply_fn = build_model(self.cfg, quant=True,
                                      mesh=self.mesh).apply
         self._shard_variables()
-        self._jit_pipeline = jax.jit(self._pipeline)
+        self._jit_pipeline = serving_jit(self._pipeline)
         # the quantized apply_fn replaces the float one; drop any jit
         # built against the old closure (invalidate at the mutation
         # site so every install path is covered)
@@ -318,7 +319,7 @@ class PoseInference:
                                                 scales, (W, H))
             return coords, scores
 
-        self._jit_crops_pipeline = jax.jit(crops_pipeline)
+        self._jit_crops_pipeline = serving_jit(crops_pipeline)
         return self._jit_crops_pipeline
 
     def _maybe_calibrate_crops(self, batch) -> None:
