@@ -141,6 +141,11 @@ class TrainConfig:
     lr_milestones: Tuple[int, ...] = (170, 200)
     lr_gamma: float = 0.1
     grad_clip_norm: float = 0.0  # 0 disables
+    # Split each global batch into N sequential microbatches inside the
+    # fused step (lax.scan), averaging gradients before the single
+    # optimizer update — large effective batches on memory-limited chips.
+    # BN batch-stats update per microbatch (torch grad-accum semantics).
+    grad_accum_steps: int = 1
     seed: int = 42
     steps_per_epoch: int = 0  # 0 = derive from dataset size
     checkpoint_dir: str = "checkpoints/"

@@ -113,8 +113,10 @@ def make_train_step(cfg, schema) -> Callable:
     mean, std = cfg.data.pixel_mean, cfg.data.pixel_std
     loss_fn = make_loss_fn(cfg, schema)
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    accum = max(1, int(getattr(cfg.train, "grad_accum_steps", 1)))
+
+    def micro_grads(apply_fn, params, stats, batch, rng):
+        """Targets -> jitter -> fwd -> loss -> bwd for one (micro)batch."""
         target, weight = _targets(batch, heatmap_size, input_size, sigma)
         rng, jitter_rng = jax.random.split(rng)
         images = color_jitter_normalized(jitter_rng, batch["image"],
@@ -123,17 +125,59 @@ def make_train_step(cfg, schema) -> Callable:
         def compute(params):
             variables = {"params": params}
             mutable = []
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
+            if stats is not None:
+                variables["batch_stats"] = stats
                 mutable = ["batch_stats"]
-            outputs, mutated = state.apply_fn(
+            outputs, mutated = apply_fn(
                 variables, images, True, mutable=mutable,
                 rngs={"dropout": rng})
             loss, terms = loss_fn(outputs, batch, target, weight)
             return loss, (terms, mutated.get("batch_stats"))
 
-        (loss, (terms, new_stats)), grads = jax.value_and_grad(
-            compute, has_aux=True)(state.params)
+        (_, (terms, new_stats)), grads = jax.value_and_grad(
+            compute, has_aux=True)(params)
+        return grads, terms, new_stats
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if accum == 1:
+            grads, terms, new_stats = micro_grads(
+                state.apply_fn, state.params, state.batch_stats, batch, rng)
+        else:
+            b = batch["image"].shape[0]
+            if b % accum != 0:
+                raise ValueError(
+                    f"global batch {b} not divisible by "
+                    f"grad_accum_steps={accum}")
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]), batch)
+            rngs = jax.random.split(rng, accum)
+            first = jax.tree_util.tree_map(lambda x: x[0], micro)
+            g_shape, t_shape, _ = jax.eval_shape(
+                lambda mb, r: micro_grads(state.apply_fn, state.params,
+                                          state.batch_stats, mb, r),
+                first, rngs[0])
+            zeros = lambda tree: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), tree)
+
+            def body(carry, xs):
+                stats, gsum, tsum = carry
+                mb, r = xs
+                grads, terms, new_stats = micro_grads(
+                    state.apply_fn, state.params, stats, mb, r)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+                tsum = jax.tree_util.tree_map(jnp.add, tsum, terms)
+                stats = new_stats if stats is not None else None
+                return (stats, gsum, tsum), None
+
+            (new_stats, gsum, tsum), _ = jax.lax.scan(
+                body, (state.batch_stats, zeros(g_shape), zeros(t_shape)),
+                (micro, rngs))
+            inv = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            terms = jax.tree_util.tree_map(lambda t: t * inv, tsum)
+
         new_state = state.apply_gradients(grads)
         if new_stats is not None:
             new_state = new_state.replace(batch_stats=new_stats)

@@ -251,3 +251,82 @@ def test_data_parallel_bn_trajectory_50_steps_flagship(rng):
             np.asarray(v_sh), np.asarray(flat_1[key]), rtol=3e-4, atol=1e-5,
             err_msg=f"sharded BN stat drift at {'/'.join(key)} "
                     f"after 50 accumulation steps")
+
+
+def test_grad_accum_matches_python_oracle(rng):
+    """grad_accum_steps=4: the scanned step must equal a hand-rolled python
+    loop — per-microbatch grads averaged before ONE optimizer update, BN
+    batch-stats threaded sequentially (torch grad-accum semantics, the
+    analogue of accumulating .grad across loader iterations in
+    /root/reference/train.py:155-187)."""
+    from infantposeestimation_gaussianbias_tpu.ops.heatmap import (
+        generate_targets,
+    )
+    from infantposeestimation_gaussianbias_tpu.ops.photometric import (
+        color_jitter_normalized,
+    )
+    from infantposeestimation_gaussianbias_tpu.train.step import make_loss_fn
+
+    accum, B = 4, 8
+    cfg = tiny_cfg("fusion")
+    cfg.train.grad_accum_steps = accum
+    # SGD: the update is linear in the gradient, so parameter equality is a
+    # faithful gradient-equality check; under AdamW, sign flips where
+    # grads ~ 0 make elementwise comparison meaningless (same rationale as
+    # test_data_parallel_step_on_8_devices).
+    cfg.train.optimizer = "sgd"
+    cfg.train.weight_decay = 0.0
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    assert state.batch_stats is not None  # BN threading is under test
+    batch = synth_batch(rng, cfg, B=B)
+    rng_step = jax.random.PRNGKey(7)
+
+    step = jax.jit(make_train_step(cfg, cfg.data.keypoint_schema))
+    new_state, metrics = step(state, batch, rng_step)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # --- oracle: explicit python loop over microbatches -------------------
+    loss_fn = make_loss_fn(cfg, cfg.data.keypoint_schema)
+    hm, inp = tuple(cfg.data.heatmap_size), tuple(cfg.data.input_size)
+    mean, std = cfg.data.pixel_mean, cfg.data.pixel_std
+    jitter = tuple(cfg.data.color_jitter)
+    rngs = jax.random.split(rng_step, accum)
+    stats = state.batch_stats
+    gsum = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    m = B // accum
+    for i in range(accum):
+        mb = jax.tree_util.tree_map(lambda x: x[i * m:(i + 1) * m], batch)
+        target, weight = generate_targets(mb["keypoints"], mb["visible"],
+                                          hm, inp, cfg.data.sigma, "msra")
+        r, jr = jax.random.split(rngs[i])
+        images = color_jitter_normalized(jr, mb["image"], mean, std, *jitter)
+
+        def compute(p, stats=stats, images=images, mb=mb, target=target,
+                    weight=weight, r=r):
+            outputs, mutated = state.apply_fn(
+                {"params": p, "batch_stats": stats}, images, True,
+                mutable=["batch_stats"], rngs={"dropout": r})
+            loss, _ = loss_fn(outputs, mb, target, weight)
+            return loss, mutated["batch_stats"]
+
+        (_, stats), grads = jax.value_and_grad(compute, has_aux=True)(
+            state.params)
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+    grads_avg = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+    expected = state.apply_gradients(grads_avg).replace(batch_stats=stats)
+
+    from infantposeestimation_gaussianbias_tpu.train.step import (
+        optax_global_norm,
+    )
+    np.testing.assert_allclose(float(metrics["grad_norm"]),
+                               float(optax_global_norm(grads_avg)),
+                               rtol=1e-4)
+    for got, want in zip(jax.tree_util.tree_leaves(new_state.params),
+                         jax.tree_util.tree_leaves(expected.params)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-6)
+    for got, want in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                         jax.tree_util.tree_leaves(expected.batch_stats)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-7)
