@@ -11,6 +11,17 @@ Pallas kernels for the hot ops).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("IPE_PLATFORM"):
+    # Deployment-environment escape hatch: site hooks may force a platform
+    # (e.g. a TPU tunnel) in a way plain JAX_PLATFORMS cannot override;
+    # jax.config.update applied before backend init always wins.  Lets any
+    # CLI run on CPU with IPE_PLATFORM=cpu.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["IPE_PLATFORM"])
+
 from . import config, schemas
 from .config import Config, get_config, get_variant
 

@@ -164,7 +164,9 @@ class HRFormerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, H, W, C = x.shape
         shortcut = x
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        # epsilon=1e-5 matches torch nn.LayerNorm so imported reference
+        # checkpoints reproduce bit-comparable activations.
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         wins, (Hp, Wp) = msa.window_partition(y, self.window_size)
         wins = WindowAttention(self.dim, self.window_size, self.num_heads,
                                self.with_rpe, dtype=self.dtype,
@@ -175,7 +177,7 @@ class HRFormerBlock(nn.Module):
         y = msa.window_reverse(wins, self.window_size, H, W, Hp, Wp)
         x = shortcut + DropPath(self.drop_path, name="dp1")(y, train)
 
-        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype,
                 quant=self.quant, calibrate=self.calibrate, name="mlp")(y)
         return x + DropPath(self.drop_path, name="dp2")(y, train)

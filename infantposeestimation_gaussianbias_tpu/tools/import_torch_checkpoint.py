@@ -127,6 +127,117 @@ def convert_hrnet_backbone(sd: Dict, prefix: str = "backbone."
     return P, S
 
 
+def _dense(sd, name):
+    """torch Linear -> flax Dense {kernel (I,O), bias}."""
+    w = np.asarray(sd[f"{name}.weight"])
+    out = {"kernel": w.transpose(1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _ln(sd, name):
+    """torch LayerNorm -> flax {scale, bias}."""
+    return {"scale": np.asarray(sd[f"{name}.weight"]),
+            "bias": np.asarray(sd[f"{name}.bias"])}
+
+
+def convert_hrformer_backbone(sd: Dict, prefix: str = "backbone."
+                              ) -> Tuple[Dict, Dict]:
+    """Reference HRFormer state_dict -> our HRFormer params/batch_stats.
+
+    Mapping (ref models/hrformer.py:494-846 naming -> models/hrformer.py):
+      conv1/bn1, conv2/bn2            -> stem1, stem2
+      layer1.{b}.conv{i}/bn{i}        -> layer1_block{b}/conv{i} (+downsample)
+      transition{t}.{i}[.0].{0,1}     -> transition{t}_{i}
+      stage{s}.{m}.branches.{br}.{bl} -> stage{s}_module{m}/branch{br}_block{bl}
+        .norm1|norm2 (LayerNorm)      ->   norm1|norm2 {scale,bias}
+        .attn.qkv|proj (Linear)       ->   attn/{qkv,proj} {kernel,bias}
+        .attn.relative_position_bias_table -> attn/rpe_table (same
+          ((2w-1)^2, heads) layout; the (N,N) index is rebuilt statically
+          on our side with the identical construction, ops/msa.py)
+        .mlp.fc1|fc2 (Linear)         ->   mlp/{fc1,fc2}
+      stage{s}.{m}.fuse_layers.{i}.{j}-> stage{s}_module{m}/fuse{i}_{j}[_{k}]
+
+    Stage/module/block counts are discovered from the state_dict keys, so
+    base (modules 1,4,2) and small checkpoints both convert.
+    """
+    P: Dict = {}
+    S: Dict = {}
+
+    def put(path, conv_name, bn_name):
+        p, s = _convnorm(sd, prefix + conv_name, prefix + bn_name)
+        _set(P, path, p, S, s)
+
+    put("stem1", "conv1", "bn1")
+    put("stem2", "conv2", "bn2")
+
+    # layer1: Bottlenecks (ref stage1_num_blocks=(2,))
+    b = 0
+    while f"{prefix}layer1.{b}.conv1.weight" in sd:
+        base = f"layer1.{b}"
+        for i in (1, 2, 3):
+            put(f"layer1_block{b}/conv{i}", f"{base}.conv{i}",
+                f"{base}.bn{i}")
+        if f"{prefix}{base}.downsample.0.weight" in sd:
+            put(f"layer1_block{b}/downsample", f"{base}.downsample.0",
+                f"{base}.downsample.1")
+        b += 1
+
+    for t in (1, 2, 3):
+        for i in range(t + 1):
+            flat = f"transition{t}.{i}.0"
+            nested = f"transition{t}.{i}.0.0"
+            if f"{prefix}{nested}.weight" in sd:  # new lowest branch
+                put(f"transition{t}_{i}", nested, f"transition{t}.{i}.0.1")
+            elif f"{prefix}{flat}.weight" in sd:  # channel-changing conv
+                put(f"transition{t}_{i}", flat, f"transition{t}.{i}.1")
+            # else: identity transition
+
+    for s_idx in (2, 3, 4):
+        nb = s_idx  # branches per stage
+        m = 0
+        while f"{prefix}stage{s_idx}.{m}.branches.0.0.norm1.weight" in sd:
+            mbase = f"stage{s_idx}.{m}"
+            mpath = f"stage{s_idx}_module{m}"
+            for br in range(nb):
+                blk = 0
+                while (f"{prefix}{mbase}.branches.{br}.{blk}.norm1.weight"
+                       in sd):
+                    bb = f"{prefix}{mbase}.branches.{br}.{blk}"
+                    bp = f"{mpath}/branch{br}_block{blk}"
+                    block = {
+                        "norm1": _ln(sd, f"{bb}.norm1"),
+                        "norm2": _ln(sd, f"{bb}.norm2"),
+                        "attn": {
+                            "qkv": _dense(sd, f"{bb}.attn.qkv"),
+                            "proj": _dense(sd, f"{bb}.attn.proj"),
+                            "rpe_table": np.asarray(
+                                sd[f"{bb}.attn."
+                                   f"relative_position_bias_table"]),
+                        },
+                        "mlp": {
+                            "fc1": _dense(sd, f"{bb}.mlp.fc1"),
+                            "fc2": _dense(sd, f"{bb}.mlp.fc2"),
+                        },
+                    }
+                    _set(P, bp, block, S, {})
+                    blk += 1
+            for i in range(nb):
+                for j in range(nb):
+                    if j == i:
+                        continue
+                    fl = f"{mbase}.fuse_layers.{i}.{j}"
+                    if j > i:  # Sequential(conv1x1, bn)
+                        put(f"{mpath}/fuse{i}_{j}", f"{fl}.0", f"{fl}.1")
+                    else:  # chain of Sequential(conv,bn[,relu])
+                        for k in range(i - j):
+                            put(f"{mpath}/fuse{i}_{j}_{k}",
+                                f"{fl}.{k}.0", f"{fl}.{k}.1")
+            m += 1
+    return P, S
+
+
 def convert_heatmap_head(sd: Dict, prefix: str = "head.") -> Tuple[Dict, Dict]:
     """Reference HeatmapHead (no deconvs) -> our HeatmapHead tree."""
     w = np.asarray(sd[f"{prefix}final_layer.weight"])
@@ -166,15 +277,25 @@ def convert_fusion_head(sd: Dict, prefix: str = "head.") -> Tuple[Dict, Dict]:
     return P, S
 
 
+def detect_backbone_family(sd: Dict, prefix: str = "backbone.") -> str:
+    """'hrformer' when transformer-branch keys exist, else 'hrnet'."""
+    probe = f"{prefix}stage2.0.branches.0.0.norm1.weight"
+    return "hrformer" if probe in sd else "hrnet"
+
+
 def convert_checkpoint(state_dict: Dict, head_type: str = "fusion"
                        ) -> Tuple[Dict, Dict]:
     """Full reference PoseEstimator state_dict -> (params, batch_stats).
 
     Returns trees matching PoseEstimator's variables: params['backbone'],
-    params['head'].
+    params['head'].  The backbone family (HRNet vs HRFormer) is detected
+    from the state_dict keys.
     """
     sd = {k: v for k, v in state_dict.items()}
-    bp, bs = convert_hrnet_backbone(sd)
+    if detect_backbone_family(sd) == "hrformer":
+        bp, bs = convert_hrformer_backbone(sd)
+    else:
+        bp, bs = convert_hrnet_backbone(sd)
     if head_type == "fusion":
         hp, hs = convert_fusion_head(sd)
     else:

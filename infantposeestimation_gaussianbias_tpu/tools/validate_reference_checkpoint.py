@@ -122,8 +122,19 @@ def _make_dry_run_fixtures(tmp, cfg):
             "--dry-run needs the repo test suite on sys.path "
             "(run from the repository root)") from e
 
-    base = {"hrnet_w32": 32, "hrnet_w48": 48}[cfg.model.backbone]
-    tm = TorchHRNet(base=base).eval()
+    if cfg.model.backbone.startswith("hrformer"):
+        from tests.torch_hrformer_oracle import TorchHRFormer
+
+        spec = {"hrformer_base": ((78, 156, 312, 624), (2, 4, 8, 16),
+                                  (1, 4, 2)),
+                "hrformer_small": ((32, 64, 128, 256), (1, 2, 4, 8),
+                                   (1, 4, 2))}[cfg.model.backbone]
+        tm = TorchHRFormer(channels=spec[0], heads=spec[1],
+                           stage_modules=spec[2]).eval()
+        base = spec[0][0]
+    else:
+        base = {"hrnet_w32": 32, "hrnet_w48": 48}[cfg.model.backbone]
+        tm = TorchHRNet(base=base).eval()
     sd = {f"backbone.{k}": v for k, v in tm.state_dict().items()}
     if cfg.model.head_type == "fusion":
         th = TorchFusionHead(in_ch=base, K=cfg.data.num_keypoints,
@@ -159,7 +170,8 @@ def main(argv=None):
                         default="annotations/person_keypoints_val2017.json")
     parser.add_argument("--img-dir", default="val2017")
     parser.add_argument("--backbone", default="hrnet_w32",
-                        choices=["hrnet_w32", "hrnet_w48"])
+                        choices=["hrnet_w32", "hrnet_w48",
+                                 "hrformer_base", "hrformer_small"])
     parser.add_argument("--head", default="fusion",
                         choices=["fusion", "heatmap"])
     parser.add_argument("--input-size", type=int, nargs=2,

@@ -146,6 +146,11 @@ def make_train_step(cfg, schema) -> Callable:
         else:
             b = batch["image"].shape[0]
             if b % accum != 0:
+                # Under data parallelism the stronger constraint is
+                # (b // accum) % n_data_devices == 0 so each microbatch
+                # still shards evenly over the 'data' mesh axis
+                # (tests/test_train.py::
+                #  test_grad_accum_under_data_parallel_sharding).
                 raise ValueError(
                     f"global batch {b} not divisible by "
                     f"grad_accum_steps={accum}")
@@ -158,25 +163,34 @@ def make_train_step(cfg, schema) -> Callable:
                 lambda mb, r: micro_grads(state.apply_fn, state.params,
                                           state.batch_stats, mb, r),
                 first, rngs[0])
-            zeros = lambda tree: jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), tree)
+            # Accumulate in f32 regardless of gradient dtype: under a
+            # bf16-params policy the per-microbatch sums would otherwise
+            # lose precision vs one large batch (accumulator dtype must
+            # not depend on param dtype).
+            zeros_f32 = lambda tree: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, jnp.float32), tree)
 
             def body(carry, xs):
                 stats, gsum, tsum = carry
                 mb, r = xs
                 grads, terms, new_stats = micro_grads(
                     state.apply_fn, state.params, stats, mb, r)
-                gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
-                tsum = jax.tree_util.tree_map(jnp.add, tsum, terms)
+                gsum = jax.tree_util.tree_map(
+                    lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+                tsum = jax.tree_util.tree_map(
+                    lambda a, t: a + t.astype(jnp.float32), tsum, terms)
                 stats = new_stats if stats is not None else None
                 return (stats, gsum, tsum), None
 
             (new_stats, gsum, tsum), _ = jax.lax.scan(
-                body, (state.batch_stats, zeros(g_shape), zeros(t_shape)),
+                body, (state.batch_stats, zeros_f32(g_shape),
+                       zeros_f32(t_shape)),
                 (micro, rngs))
             inv = 1.0 / accum
-            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
-            terms = jax.tree_util.tree_map(lambda t: t * inv, tsum)
+            grads = jax.tree_util.tree_map(
+                lambda g, s: (g * inv).astype(s.dtype), gsum, g_shape)
+            terms = jax.tree_util.tree_map(
+                lambda t, s: (t * inv).astype(s.dtype), tsum, t_shape)
 
         new_state = state.apply_gradients(grads)
         if new_stats is not None:

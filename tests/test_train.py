@@ -120,6 +120,37 @@ def test_data_parallel_step_on_8_devices(rng):
                                    float(m1["total_loss"]), rtol=5e-3)
 
 
+def test_grad_accum_under_data_parallel_sharding(rng):
+    """grad_accum_steps=2 composed with data-parallel batch sharding: the
+    reshape to (accum, B/accum, ...) inside the scanned step must compile
+    and follow the same loss trajectory as the unsharded run.  Constraint
+    exercised here: (B/accum) % n_devices == 0 so every microbatch still
+    shards evenly over the 'data' axis (16/2 = 8 per microbatch on 8
+    devices)."""
+    assert len(jax.devices()) == 8
+    cfg = tiny_cfg("heatmap")
+    cfg.train.grad_accum_steps = 2
+    cfg.train.optimizer = "sgd"
+    cfg.train.weight_decay = 0.0
+    model = build_model(cfg)
+    mesh = create_mesh()
+
+    state_sh = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                  mesh=mesh)
+    state1 = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, cfg.data.keypoint_schema))
+    batch = synth_batch(rng, cfg, B=16)
+    sharded = shard_batch(batch, mesh)
+
+    for i in range(3):
+        rng_i = jax.random.PRNGKey(i + 1)
+        state_sh, m_sh = step(state_sh, sharded, rng_i)
+        state1, m1 = step(state1, batch, rng_i)
+        np.testing.assert_allclose(float(m_sh["total_loss"]),
+                                   float(m1["total_loss"]), rtol=5e-3)
+    assert np.isfinite(float(m_sh["grad_norm"]))
+
+
 def test_tensor_parallel_step_on_2x4_mesh(rng):
     """Real tensor parallelism: cfg.parallel.tensor_parallel=True over a
     2x4 ('data','model') mesh.  Asserts (a) the fusion-head hidden kernels
@@ -326,7 +357,11 @@ def test_grad_accum_matches_python_oracle(rng):
                          jax.tree_util.tree_leaves(expected.params)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-6)
+    # Same tolerance as the params check: lax.scan vs the unrolled eager
+    # loop reassociate f32 BN-stat sums differently (observed up to
+    # 2e-7 abs / 4.2e-5 rel on CPU) — rtol=1e-4 still catches any
+    # semantic drift (wrong microbatch order, missed momentum update).
     for got, want in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
                          jax.tree_util.tree_leaves(expected.batch_stats)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-5, atol=1e-7)
+                                   rtol=1e-4, atol=1e-6)
