@@ -4,7 +4,17 @@ Companion to bench.py for the training path: on-device Gaussian target
 generation + bf16 forward + 6-term fusion loss + backward + AdamW update,
 measured with the same chained-fori protocol (see bench.py for why).
 
-Prints one JSON line. Env knobs: BENCH_BATCH (128), BENCH_CHAIN (8).
+Prints one JSON line. Env knobs:
+  BENCH_BATCH (128), BENCH_CHAIN (48)
+  BENCH_BACKBONE (hrnet_w32 | hrnet_w48 | hrformer_base | hrformer_small)
+  BENCH_PALLAS  (1: fused Pallas W-MSA for hrformer; 0: XLA path)
+  BENCH_ACCUM   (grad_accum_steps; microbatch = BENCH_BATCH / accum)
+
+MFU is reported from published per-crop forward-FLOP figures at 256x192
+(backward ~2x forward): HRNet-W32 7.1G / W48 14.6G
+(/root/reference/analysis/hrnet_vs_sota_analysis.md:15-24), HRFormer-Base
+12.2G / Small 2.8G (HRFormer paper, table 5) — against the v5e bf16 peak
+of 197 TFLOP/s measured by the chained-matmul calibration (BENCH.md).
 """
 
 import json
@@ -20,6 +30,15 @@ _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+PEAK_BF16 = 197e12
+FLOPS_FWD_PER_CROP = {
+    "hrnet_w32": 7.1e9,
+    "hrnet_w48": 14.6e9,
+    "hrformer_base": 12.2e9,
+    "hrformer_small": 2.8e9,
+    "litehrnet": 0.31e9,
+}
+
 
 def main():
     from infantposeestimation_gaussianbias_tpu.config import Config
@@ -31,12 +50,17 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", "128"))
     K_CHAIN = int(os.environ.get("BENCH_CHAIN", "48"))
+    backbone = os.environ.get("BENCH_BACKBONE", "hrnet_w32")
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    accum = int(os.environ.get("BENCH_ACCUM", "1"))
 
     cfg = Config()
-    cfg.model.backbone = "hrnet_w32"
+    cfg.model.backbone = backbone
     cfg.model.head_type = "fusion"
     cfg.model.compute_dtype = "bfloat16"
+    cfg.model.use_pallas = use_pallas
     cfg.train.steps_per_epoch = 1000
+    cfg.train.grad_accum_steps = accum
 
     model = build_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0))
@@ -82,14 +106,23 @@ def main():
     per = (tk - t1) / K_CHAIN
     print(f"# T_{K0}={t1 * 1e3:.1f}ms T_{K0 + K_CHAIN}={tk * 1e3:.1f}ms "
           f"-> {per * 1e3:.2f}ms/step of {B}", flush=True)
-    print(json.dumps({
+    out = {
         "metric": "train_crops_per_sec_per_chip_256x192",
         "value": round(B / per, 1),
         "unit": "crops/s",
         "batch_size": B,
         "ms_per_step": round(per * 1e3, 2),
+        "backbone": backbone,
+        "grad_accum_steps": accum,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    if backbone.startswith("hrformer"):
+        out["pallas"] = use_pallas
+    fwd = FLOPS_FWD_PER_CROP.get(backbone)
+    if fwd:
+        # fwd + ~2x fwd for the backward
+        out["mfu_pct"] = round(B * 3 * fwd / per / PEAK_BF16 * 100, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

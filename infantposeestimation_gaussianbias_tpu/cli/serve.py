@@ -38,17 +38,26 @@ from ..inference import PoseInference
 from .common import add_config_args, resolve_config
 
 
+class Overloaded(Exception):
+    """Request rejected at admission: the pending queue is full."""
+
+
 class _Pending:
     """One enqueued request: the frame to predict and a door to wait at."""
 
-    __slots__ = ("frame", "bbox", "done", "result", "error")
+    __slots__ = ("frame", "bbox", "done", "result", "error", "deadline")
 
-    def __init__(self, frame: np.ndarray, bbox: np.ndarray):
+    def __init__(self, frame: np.ndarray, bbox: np.ndarray,
+                 deadline: float = float("inf")):
         self.frame = frame
         self.bbox = bbox
         self.done = threading.Event()
         self.result = None
         self.error: Optional[Exception] = None
+        # absolute time.monotonic() after which nobody is waiting for the
+        # answer; the dispatcher drops expired requests BEFORE burning
+        # device time on them.
+        self.deadline = deadline
 
 
 class MicroBatcher:
@@ -61,11 +70,21 @@ class MicroBatcher:
     """
 
     def __init__(self, infer: PoseInference, max_batch: int = 64,
-                 window_s: float = 0.005, depth: int = 2):
+                 window_s: float = 0.005, depth: int = 2,
+                 queue_depth: int = 0):
         self.infer = infer
         self.max_batch = max_batch
         self.window_s = window_s
-        self.q: "queue.Queue[_Pending]" = queue.Queue()
+        # Bounded admission queue: under sustained overload, accepting
+        # work the device can never catch up on only grows p95 without
+        # bound AND burns device time on answers nobody is waiting for.
+        # Default bound = 4 batches per in-flight slot: deep enough to
+        # absorb a burst, shallow enough that queue wait stays a few
+        # batch-times.  0/negative -> explicit bound given by the caller.
+        if queue_depth <= 0:
+            queue_depth = max_batch * max(1, depth) * 4
+        self.queue_depth = queue_depth
+        self.q: "queue.Queue[_Pending]" = queue.Queue(maxsize=queue_depth)
         self._stop = threading.Event()
         # Pipelined dispatch: the drain thread hands each shape-group to
         # a small pool so batch N+1 forms and dispatches while batch N is
@@ -83,9 +102,17 @@ class MicroBatcher:
 
     def submit(self, frame: np.ndarray, bbox: np.ndarray,
                timeout: float = 60.0):
-        p = _Pending(frame, bbox)
-        self.q.put(p)
+        import time
+
+        p = _Pending(frame, bbox, deadline=time.monotonic() + timeout)
+        try:
+            self.q.put_nowait(p)  # shed load at admission, don't block
+        except queue.Full:
+            raise Overloaded(
+                f"pending queue full ({self.queue_depth} requests)")
         if not p.done.wait(timeout):
+            # Waiter gives up; the dispatcher will drop the pending via
+            # its deadline instead of dispatching it to the device.
             raise TimeoutError("prediction timed out")
         if p.error is not None:
             raise p.error
@@ -95,6 +122,25 @@ class MicroBatcher:
         self._stop.set()
         self._thread.join(timeout=5.0)
         self._pool.shutdown(wait=False)
+
+    @staticmethod
+    def _expire(pendings: list) -> list:
+        """Drop requests whose waiter has already timed out; returns the
+        still-live ones.  Without this, a timed-out request's frame was
+        STILL dispatched later — under sustained overload the server
+        burned device time on answers nobody was waiting for and p95
+        grew without bound."""
+        import time
+
+        now = time.monotonic()
+        live = []
+        for p in pendings:
+            if p.deadline < now:
+                p.error = TimeoutError("expired in queue")
+                p.done.set()
+            else:
+                live.append(p)
+        return live
 
     def _drain(self) -> list:
         try:
@@ -109,10 +155,15 @@ class MicroBatcher:
                 batch.append(self.q.get_nowait())
             except queue.Empty:
                 break
-        return batch
+        return self._expire(batch)
 
     def _predict_group(self, members: list) -> None:
         try:
+            # re-check deadlines: time may have passed queued behind the
+            # in-flight semaphore between drain and dispatch.
+            members = self._expire(members)
+            if not members:
+                return
             frames = np.stack([p.frame for p in members])
             bboxes = np.stack([p.bbox for p in members])
             kpts, scores = self.infer.predict_batch(frames, bboxes)
@@ -185,7 +236,8 @@ def _decode_image(body: bytes, content_type: str) -> np.ndarray:
 
 def make_server(infer: PoseInference, host: str = "127.0.0.1",
                 port: int = 8000, max_batch: int = 64,
-                window_ms: float = 5.0, depth: int = 2):
+                window_ms: float = 5.0, depth: int = 2,
+                queue_depth: int = 0, request_timeout: float = 60.0):
     """Build (but don't start) the HTTP server; returns (server, batcher).
 
     Split from main() so tests can run it on an ephemeral port.
@@ -193,7 +245,8 @@ def make_server(infer: PoseInference, host: str = "127.0.0.1",
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     batcher = MicroBatcher(infer, max_batch=max_batch,
-                           window_s=window_ms / 1e3, depth=depth)
+                           window_s=window_ms / 1e3, depth=depth,
+                           queue_depth=queue_depth)
     names = list(infer.schema.keypoint_names)
     health = {
         "status": "ok",
@@ -210,11 +263,14 @@ def make_server(infer: PoseInference, host: str = "127.0.0.1",
         # reuse connections see ECONNRESET on their next request.
         protocol_version = "HTTP/1.1"
 
-        def _send(self, code: int, payload: dict):
+        def _send(self, code: int, payload: dict, retry_after: float = 0):
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if retry_after > 0:
+                self.send_header("Retry-After",
+                                 str(max(1, int(round(retry_after)))))
             self.end_headers()
             self.wfile.write(body)
 
@@ -244,8 +300,19 @@ def make_server(infer: PoseInference, host: str = "127.0.0.1",
                 else:
                     h, w = frame.shape[:2]
                     bbox = np.asarray([0, 0, w, h], np.float32)
-                kpts, scores = batcher.submit(frame, bbox)
-            except (ValueError, TimeoutError) as e:
+                kpts, scores = batcher.submit(frame, bbox,
+                                              timeout=request_timeout)
+            except Overloaded as e:
+                # Shed load explicitly: a full pending queue means the
+                # device is saturated; tell the client when one queue's
+                # worth of work will have drained.
+                self._send(503, {"error": str(e)},
+                           retry_after=min(request_timeout, 1.0))
+                return
+            except TimeoutError as e:
+                self._send(504, {"error": str(e)})
+                return
+            except ValueError as e:
                 self._send(400, {"error": str(e)})
                 return
             except Exception as e:
@@ -260,7 +327,15 @@ def make_server(infer: PoseInference, host: str = "127.0.0.1",
         def log_message(self, fmt, *args):  # route through print, quietly
             pass
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # The stdlib default listen backlog is 5: a burst of >5
+        # simultaneous connects (128-client overload probe) overflows
+        # the SYN queue and clients see ECONNRESET before the app ever
+        # got a say.  Admission control belongs to the bounded batcher
+        # queue (503), not the kernel backlog.
+        request_queue_size = 256
+
+    server = Server((host, port), Handler)
     return server, batcher
 
 
@@ -305,6 +380,13 @@ def main(argv=None):
                         help="device batches in flight at once (1 = "
                              "blocking dispatch; 2 overlaps batch N+1's "
                              "host+H2D work with batch N's compute)")
+    parser.add_argument("--queue-depth", type=int, default=0,
+                        help="max pending requests before new ones are "
+                             "shed with 503 + Retry-After (default: "
+                             "4 x max-batch x dispatch-depth)")
+    parser.add_argument("--request-timeout", type=float, default=60.0,
+                        metavar="S", help="per-request deadline; expired "
+                        "requests are dropped before device dispatch")
     parser.add_argument("--no-fold", action="store_true",
                         help="disable the (exact) BN-fold serving transform")
     parser.add_argument("--int8", action="store_true",
@@ -356,7 +438,9 @@ def main(argv=None):
 
     server, batcher = make_server(infer, args.host, args.port,
                                   args.max_batch, args.batch_window,
-                                  depth=args.dispatch_depth)
+                                  depth=args.dispatch_depth,
+                                  queue_depth=args.queue_depth,
+                                  request_timeout=args.request_timeout)
     print(f"serving {cfg.model.backbone}+{cfg.model.head_type} on "
           f"http://{args.host}:{args.port}  (POST /predict, GET /healthz)")
     try:

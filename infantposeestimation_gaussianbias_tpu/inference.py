@@ -319,7 +319,14 @@ class PoseInference:
                                                 scales, (W, H))
             return coords, scores
 
-        self._jit_crops_pipeline = serving_jit(crops_pipeline)
+        # IPE_DONATE_SERVING=1: donate the u8 crop buffer (arg 1) — each
+        # streamed batch array is consumed exactly once, so XLA may reuse
+        # its HBM for activations.  Off by default: predict_batch callers
+        # may legitimately reuse a device-resident input across calls.
+        donate = (os.environ.get("IPE_DONATE_SERVING", "0") == "1"
+                  and self.mesh is None)
+        self._jit_crops_pipeline = serving_jit(
+            crops_pipeline, donate_argnums=(1,) if donate else ())
         return self._jit_crops_pipeline
 
     def _maybe_calibrate_crops(self, batch) -> None:

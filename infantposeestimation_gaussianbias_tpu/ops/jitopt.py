@@ -44,8 +44,9 @@ class _ShapeCachedCompile:
     """Callable with jit-like behavior: one AOT compile per input
     shape/dtype signature, carrying PJRT compiler options."""
 
-    def __init__(self, fn: Callable, options: Dict[str, str]):
-        self._jit = jax.jit(fn)
+    def __init__(self, fn: Callable, options: Dict[str, str],
+                 donate_argnums=()):
+        self._jit = jax.jit(fn, donate_argnums=donate_argnums)
         self._options = dict(options)
         self._compiled: dict = {}
 
@@ -69,15 +70,19 @@ class _ShapeCachedCompile:
 
 
 def serving_jit(fn: Callable,
-                options: Optional[Dict[str, str]] = None) -> Callable:
+                options: Optional[Dict[str, str]] = None,
+                donate_argnums=()) -> Callable:
     """``jax.jit(fn)``, optionally compiled with TPU compiler options.
 
     With no options (after env merging) this IS ``jax.jit(fn)`` — same
     tracing, donation, and persistent-cache behavior. With options it
     returns a per-shape AOT-compiling wrapper that ships them via
-    CompileOptions.
+    CompileOptions.  ``donate_argnums`` forwards to jax.jit in both
+    paths (streaming serving donates the input crop buffer: each batch
+    array is consumed exactly once, so XLA may reuse its HBM for the
+    activations instead of allocating alongside it).
     """
     merged = resolve_options(options)
     if not merged:
-        return jax.jit(fn)
-    return _ShapeCachedCompile(fn, merged)
+        return jax.jit(fn, donate_argnums=donate_argnums)
+    return _ShapeCachedCompile(fn, merged, donate_argnums)

@@ -15,7 +15,15 @@ TPU-side dispatcher buys over that model.
 Usage: python -m infantposeestimation_gaussianbias_tpu.tools.probe_serve_http
 Env: PROBE_CLIENTS (default 32), PROBE_REQS (per client, default 40),
 PROBE_QUANT (default 1), PROBE_WINDOW_MS (default 5),
-PROBE_MAX_BATCH (default 64), PROBE_FRAME (default 256, square npy frame).
+PROBE_MAX_BATCH (default 64), PROBE_FRAME (default 256, square npy frame),
+PROBE_QUEUE_DEPTH (default 0 = 4 x max-batch x depth),
+PROBE_TIMEOUT_S (per-request deadline, default 60).
+
+Overload/saturation row: run with clients >> capacity (e.g.
+PROBE_CLIENTS=128) and a tight PROBE_QUEUE_DEPTH — 503-shed responses are
+counted separately from transport errors, so the output shows goodput
+(200s/s), shed rate, and whether p95 of the ACCEPTED requests stays
+bounded while the server rejects the excess at admission.
 """
 
 from __future__ import annotations
@@ -48,6 +56,8 @@ def main():
     window_ms = float(os.environ.get("PROBE_WINDOW_MS", "5"))
     max_batch = int(os.environ.get("PROBE_MAX_BATCH", "64"))
     side = int(os.environ.get("PROBE_FRAME", "256"))
+    queue_depth = int(os.environ.get("PROBE_QUEUE_DEPTH", "0"))
+    timeout_s = float(os.environ.get("PROBE_TIMEOUT_S", "60"))
 
     cfg = Config()
     cfg.model.backbone = "hrnet_w32"
@@ -87,7 +97,9 @@ def main():
     batch_sizes.clear()
 
     server, batcher = make_server(infer, host="127.0.0.1", port=0,
-                                  max_batch=max_batch, window_ms=window_ms)
+                                  max_batch=max_batch, window_ms=window_ms,
+                                  queue_depth=queue_depth,
+                                  request_timeout=timeout_s)
     port = server.server_address[1]
     srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
     srv_thread.start()
@@ -100,7 +112,9 @@ def main():
 
     lat_lock = threading.Lock()
     latencies = []
-    errors = []
+    shed = []       # 503 admission rejections (expected under overload)
+    timeouts = []   # 504 deadline expiries
+    errors = []     # transport failures / unexpected statuses
 
     def client(n_requests: int):
         import http.client
@@ -113,6 +127,14 @@ def main():
                              headers={"Content-Type": "application/x-npy"})
                 resp = conn.getresponse()
                 payload = resp.read()
+                if resp.status == 503:
+                    with lat_lock:
+                        shed.append(resp.headers.get("Retry-After"))
+                    continue
+                if resp.status == 504:
+                    with lat_lock:
+                        timeouts.append(time.perf_counter() - t0)
+                    continue
                 if resp.status != 200:
                     raise RuntimeError(payload[:200])
             except Exception as e:
@@ -134,6 +156,8 @@ def main():
     for t in warm_threads:
         t.join()
     latencies.clear()
+    shed.clear()
+    timeouts.clear()
     errors.clear()
     batch_sizes.clear()
 
@@ -150,13 +174,19 @@ def main():
     batcher.stop()
     server.server_close()
 
+    n_ok = len(latencies)
     lat = np.sort(np.asarray(latencies)) * 1e3
+    if lat.size == 0:
+        lat = np.asarray([0.0])
     sizes = np.asarray(batch_sizes) if batch_sizes else np.asarray([0])
     out = {
-        "requests_per_sec": round(len(lat) / wall, 1),
+        "requests_per_sec": round(n_ok / wall, 1),
         "clients": clients,
-        "requests_ok": len(lat),
+        "requests_ok": n_ok,
+        "shed_503": len(shed),
+        "timeout_504": len(timeouts),
         "errors": len(errors),
+        "queue_depth": batcher.queue_depth,
         "latency_ms_p50": round(float(np.percentile(lat, 50)), 1),
         "latency_ms_p95": round(float(np.percentile(lat, 95)), 1),
         "latency_ms_p99": round(float(np.percentile(lat, 99)), 1),

@@ -20,7 +20,15 @@ device the bound.
 
 Usage: python -m infantposeestimation_gaussianbias_tpu.tools.probe_sustained
 Env: PROBE_BATCH (default 256), PROBE_IMAGES (default 1024),
-PROBE_QUANT (default 1).
+PROBE_QUANT (default 1), PROBE_INFLIGHT (default 2: batches in flight /
+deferred readbacks in predict_stream), IPE_DONATE_SERVING (1: donate the
+crop buffer in the serving jit).
+
+Round-4 overhead isolation (verdict item 5): the ``dispatch-rpc-only``
+row times ONE serving dispatch + readback per iteration on a
+device-RESIDENT batch (no H2D, no loader).  chained device-only vs this
+row separates pure compute from the per-batch fixed dispatch/readback
+RPC cost, which on a tunnel box is the irreducible overhead share.
 """
 
 from __future__ import annotations
@@ -52,6 +60,7 @@ def main():
     B = int(os.environ.get("PROBE_BATCH", "256"))
     n_images = int(os.environ.get("PROBE_IMAGES", "1024"))
     quant = os.environ.get("PROBE_QUANT", "1") == "1"
+    in_flight = int(os.environ.get("PROBE_INFLIGHT", "2"))
 
     cfg = Config()
     cfg.model.backbone = "hrnet_w32"
@@ -111,6 +120,19 @@ def main():
         dev_rate = reps * B / (time.perf_counter() - t0)
         print(f"device-only serving: {dev_rate:,.0f} crops/s", flush=True)
 
+        # dispatch-rpc-only: same resident batch, but SYNC every call
+        # (one dispatch RPC + one D2H readback per batch).  Per-batch
+        # fixed overhead = 1/this - 1/dev_rate; on the tunnel box that
+        # is the share no pipeline change can remove.
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(fn(*args)[0])
+        rpc_rate = reps * B / (time.perf_counter() - t0)
+        rpc_overhead_ms = (1.0 / rpc_rate - 1.0 / dev_rate) * B * 1e3
+        print(f"dispatch-rpc-only: {rpc_rate:,.0f} crops/s "
+              f"(fixed overhead {rpc_overhead_ms:.1f} ms/batch)",
+              flush=True)
+
         # transfer-only: H2D device_put of one resident HOST batch,
         # repeated (each jnp.asarray of a numpy array is a fresh copy).
         # On a tunneled dev box this leg — not the loader or the chip —
@@ -147,7 +169,8 @@ def main():
         t0 = time.perf_counter()
         n_done = 0
         for i, (coords, scores) in enumerate(
-                infer.predict_stream(tracked(loader.epoch(1)))):
+                infer.predict_stream(tracked(loader.epoch(1)),
+                                     max_in_flight=in_flight)):
             n_done += valid_counts[i]
         sustained = n_done / (time.perf_counter() - t0)
         # Steady-state bound of the 3-stage pipeline (produce | H2D |
@@ -162,10 +185,14 @@ def main():
             "h2d_transfer_crops_per_sec": round(xfer_rate, 1),
             "h2d_transfer_mb_per_sec": round(xfer_mbps, 1),
             "device_only_crops_per_sec": round(dev_rate, 1),
+            "dispatch_rpc_crops_per_sec": round(rpc_rate, 1),
+            "rpc_fixed_overhead_ms_per_batch": round(rpc_overhead_ms, 2),
             "sustained_crops_per_sec": round(sustained, 1),
             "overlap_efficiency": round(sustained / legs[bound_name], 3),
             "bound": bound_name,
             "batch_size": B,
+            "max_in_flight": in_flight,
+            "donate": os.environ.get("IPE_DONATE_SERVING", "0") == "1",
             "precision": "int8-ptq" if quant else "bf16",
         }))
 

@@ -296,3 +296,24 @@ def test_predict_stream_overlap(setup):
         np.testing.assert_allclose(scores, np.asarray(ref_s),
                                    rtol=1e-5, atol=1e-5)
         assert coords.shape == (8, 17, 2) and scores.shape == (8, 17)
+
+
+def test_predict_stream_with_donated_inputs(setup, monkeypatch):
+    """IPE_DONATE_SERVING=1: the serving jit donates the crop buffer;
+    streamed results must be identical to the non-donating run (each
+    batch array is consumed exactly once in predict_stream, so donation
+    is semantics-preserving there)."""
+    from infantposeestimation_gaussianbias_tpu.inference import PoseInference
+
+    cfg, _, _, val_loader, _ = setup
+    batches = list(val_loader.epoch(0))
+
+    ref = list(PoseInference(cfg).predict_stream(iter(batches),
+                                                 max_in_flight=2))
+    monkeypatch.setenv("IPE_DONATE_SERVING", "1")
+    out = list(PoseInference(cfg).predict_stream(iter(batches),
+                                                 max_in_flight=2))
+    assert len(out) == len(ref)
+    for (c1, s1), (c2, s2) in zip(ref, out):
+        np.testing.assert_allclose(c2, c1, rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-5)

