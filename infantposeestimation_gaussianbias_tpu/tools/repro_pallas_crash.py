@@ -64,12 +64,14 @@ def stage_bbone(backbone: str, batch: int) -> None:
     factory = getattr(hrf, backbone)
     model = factory(dtype=jnp.bfloat16, use_pallas=True)
     x = jnp.zeros((batch, 256, 192, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, train=True)
 
     def loss(params):
         feats, _ = model.apply(
             {"params": params, "batch_stats": variables["batch_stats"]},
-            x, train=True, mutable=["batch_stats"])
+            x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(2)})
         y = feats[0] if isinstance(feats, (list, tuple)) else feats
         return jnp.mean(y.astype(jnp.float32) ** 2)
 
