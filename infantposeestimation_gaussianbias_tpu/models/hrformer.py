@@ -165,9 +165,13 @@ class HRFormerBlock(nn.Module):
         B, H, W, C = x.shape
         shortcut = x
         # epsilon=1e-5 matches torch nn.LayerNorm so imported reference
-        # checkpoints reproduce bit-comparable activations.
+        # checkpoints reproduce bit-comparable activations.  Stats stay
+        # f32; the output drops to the compute dtype BEFORE the window
+        # partition so the reshape+transpose moves half the bytes (the
+        # qkv Dense would cast it anyway).
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
-        wins, (Hp, Wp) = msa.window_partition(y, self.window_size)
+        wins, (Hp, Wp) = msa.window_partition(y.astype(self.dtype),
+                                              self.window_size)
         wins = WindowAttention(self.dim, self.window_size, self.num_heads,
                                self.with_rpe, dtype=self.dtype,
                                use_pallas=self.use_pallas, mesh=self.mesh,
@@ -179,7 +183,8 @@ class HRFormerBlock(nn.Module):
 
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         y = Mlp(int(C * self.mlp_ratio), C, dtype=self.dtype,
-                quant=self.quant, calibrate=self.calibrate, name="mlp")(y)
+                quant=self.quant, calibrate=self.calibrate,
+                name="mlp")(y.astype(self.dtype))
         return x + DropPath(self.drop_path, name="dp2")(y, train)
 
 
