@@ -32,6 +32,15 @@ from .layers import (
 
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
+
+def _fused_blocks_enabled() -> bool:
+    """Fused half-block kernels (ops/pallas/fused_block.py) gate: on by
+    default wherever the Pallas path is active; IPE_FUSED_BLOCK=0
+    restores the per-op round-2 kernel path for A/B measurement."""
+    import os
+
+    return os.environ.get("IPE_FUSED_BLOCK", "1") == "1"
+
 # Dense-PTQ width gate: int8 only pays off when the contraction dim fills
 # the MXU; narrow layers (C=32/64 high-res branches) lose to the extra
 # activation-quantization pass (BENCH.md round-2 measurement), so they
@@ -163,6 +172,20 @@ class HRFormerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, H, W, C = x.shape
+        # Fused half-block path (round 5): the per-op pipeline below
+        # streams the feature map through HBM ~12-14 times per block —
+        # the measured bottleneck at HRFormer's tiny channel widths
+        # (BENCH.md round-5 decomposition).  ops/pallas/fused_block.py
+        # collapses each half into ONE kernel (map streams twice).  The
+        # unfused path remains the init path (it owns the parameter
+        # tree), the CPU/test path, the int8/calibration path, and the
+        # sharded-mesh path.
+        fused = (self.use_pallas and self.with_rpe and self.mesh is None
+                 and not self.quant and not self.calibrate
+                 and not self.is_initializing()
+                 and _fused_blocks_enabled())
+        if fused:
+            return self._fused(x, train)
         shortcut = x
         # epsilon=1e-5 matches torch nn.LayerNorm so imported reference
         # checkpoints reproduce bit-comparable activations.  Stats stay
@@ -186,6 +209,67 @@ class HRFormerBlock(nn.Module):
                 quant=self.quant, calibrate=self.calibrate,
                 name="mlp")(y.astype(self.dtype))
         return x + DropPath(self.drop_path, name="dp2")(y, train)
+
+    def _droppath_scale(self, B: int, train: bool) -> jnp.ndarray:
+        """Per-sample stochastic-depth scale (B,), matching DropPath."""
+        if not train or self.drop_path == 0.0:
+            return jnp.ones((B,), jnp.float32)
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (B,))
+        return mask.astype(jnp.float32) / keep
+
+    def _fused(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """Apply-time fused path: reads the params the unfused init path
+        created (identical tree, so checkpoints/imports are unaffected)
+        and runs the two fused half-block kernels on ONE window layout
+        (single partition/reverse per block)."""
+        from ..ops.pallas.fused_block import fused_attn_half, fused_mlp_half
+
+        B, H, W, C = x.shape
+        ws = self.window_size
+        p_n1 = self.get_variable("params", "norm1")
+        p_n2 = self.get_variable("params", "norm2")
+        p_attn = self.get_variable("params", "attn")
+        p_mlp = self.get_variable("params", "mlp")
+
+        table = p_attn["rpe_table"]
+        idx = jnp.asarray(msa.relative_position_index(ws))
+        N = ws * ws
+        rpe = table[idx.reshape(-1)].reshape(N, N, self.num_heads)
+        rpe = rpe.transpose(2, 0, 1).astype(jnp.float32)
+
+        xw, (Hp, Wp) = msa.window_partition(x.astype(self.dtype), ws)
+        nW = xw.shape[0]
+        nwin = nW // B
+
+        dp1 = jnp.repeat(self._droppath_scale(B, train), nwin)[:, None, None]
+        xw = fused_attn_half(
+            xw,
+            p_n1["scale"].astype(jnp.float32)[None],
+            p_n1["bias"].astype(jnp.float32)[None],
+            p_attn["qkv"]["kernel"].astype(self.dtype),
+            p_attn["qkv"]["bias"].astype(jnp.float32)[None],
+            rpe,
+            p_attn["proj"]["kernel"].astype(self.dtype),
+            p_attn["proj"]["bias"].astype(jnp.float32)[None],
+            dp1, self.num_heads, (H, W, ws))
+
+        # MLP is token-pointwise, so it runs in the SAME window layout
+        # (pad tokens compute garbage that window_reverse crops off) —
+        # one partition + one reverse per block instead of two.
+        dp2 = jnp.repeat(self._droppath_scale(B, train), nwin)
+        dp2 = jnp.repeat(dp2, N)[:, None]
+        y2 = fused_mlp_half(
+            xw.reshape(nW * N, C),
+            p_n2["scale"].astype(jnp.float32)[None],
+            p_n2["bias"].astype(jnp.float32)[None],
+            p_mlp["fc1"]["kernel"].astype(self.dtype),
+            p_mlp["fc1"]["bias"].astype(jnp.float32)[None],
+            p_mlp["fc2"]["kernel"].astype(self.dtype),
+            p_mlp["fc2"]["bias"].astype(jnp.float32)[None],
+            dp2)
+        wins = y2.reshape(nW, ws, ws, C)
+        return msa.window_reverse(wins, ws, H, W, Hp, Wp)
 
 
 class HRFormerModule(nn.Module):

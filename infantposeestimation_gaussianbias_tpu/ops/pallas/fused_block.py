@@ -1,0 +1,609 @@
+"""Pallas TPU kernels: fused HRFormer half-blocks.
+
+Round-5 decomposition (BENCH.md) showed the HRFormer transformer blocks
+are HBM-bound, not MXU-bound: the per-op XLA/Pallas pipeline streams the
+(tiny-C) feature map through HBM ~12-14 times per block, and every trip
+on a C=32-minor tensor pays padded-lane DMA.  These kernels collapse
+each half-block into ONE pallas_call so the map streams exactly twice:
+
+  fused_mlp_half:  y = x + dp * fc2(gelu(fc1(LN(x))))        (token 2-D)
+  fused_attn_half: y = x + dp * proj(W-MSA(qkv(LN(x))))      (windowed)
+
+Both have custom-VJP Pallas backward kernels (recompute in VMEM,
+weight-gradients accumulated across grid steps in f32 — the same
+accumulation pattern as window_msa's dbias).
+
+Contract notes:
+ * LayerNorm: f32 stats, eps 1e-5 (torch parity, models/hrformer.py).
+ * GELU uses the tanh approximation inside the kernel: Mosaic has no
+   erf/erfc lowering on this toolchain.  |gelu_tanh - gelu_erf| < 2e-3
+   relative, below bf16 resolution (2^-8), so outputs are
+   bf16-indistinguishable from the XLA exact-erf path; parity tests
+   bound this.
+ * Window-pad semantics match the reference exactly
+   (/root/reference/models/hrformer.py:67-91 pads the pre-attention map
+   with zeros, so pad tokens enter attention as qkv-bias rows): the
+   attention kernel computes a static validity mask from the window
+   geometry and substitutes the qkv bias at invalid tokens — boundary
+   windows behave bit-like the unfused path.
+ * DropPath is a per-window / per-token scale operand (expanded outside
+   from the per-sample bernoulli draw), so train-mode stochastic depth
+   stays inside the fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ._interp import InterpretSwitch
+
+_SWITCH = InterpretSwitch()
+interpret_mode = _SWITCH.mode
+
+_SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
+_GELU_C = 0.044715
+
+
+def _gelu_tanh(h):
+    u = _SQRT_2_OVER_PI * (h + _GELU_C * h * h * h)
+    return 0.5 * h * (1.0 + jnp.tanh(u))
+
+
+def _gelu_tanh_grad(h):
+    u = _SQRT_2_OVER_PI * (h + _GELU_C * h * h * h)
+    t = jnp.tanh(u)
+    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _GELU_C * h * h)
+    return 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * du
+
+
+def _layernorm_f32(x, gamma, beta, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = (x - mu) * rstd
+    return xhat * gamma + beta, xhat, rstd
+
+
+def _layernorm_bwd(dln, xhat, rstd, gamma):
+    dxhat = dln * gamma
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    return (dxhat - m1 - xhat * m2) * rstd
+
+
+# --------------------------------------------------------------------------
+# MLP half-block: y = x + dp * fc2(gelu(fc1(LN(x))))
+# --------------------------------------------------------------------------
+
+
+def _mlp_half_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref, dp_ref, y_ref):
+    x = x_ref[...].astype(jnp.float32)                     # (TM, C)
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = b_ref[0].astype(jnp.float32)
+    ln, _, _ = _layernorm_f32(x, gamma, beta)
+    h = jax.lax.dot_general(
+        ln.astype(jnp.bfloat16), w1_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    g = _gelu_tanh(h)
+    o = jax.lax.dot_general(
+        g.astype(jnp.bfloat16), w2_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
+    y = x + dp_ref[...].astype(jnp.float32) * o
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _mlp_half_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                         b2_ref, dp_ref, dy_ref,
+                         dx_ref, dg_ref, db_ref, dw1_ref, db1_ref,
+                         dw2_ref, db2_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    x = x_ref[...].astype(jnp.float32)
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = b_ref[0].astype(jnp.float32)
+    ln, xhat, rstd = _layernorm_f32(x, gamma, beta)
+    lnb = ln.astype(jnp.bfloat16)
+    h = jax.lax.dot_general(
+        lnb, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[0].astype(jnp.float32)
+    g = _gelu_tanh(h)
+    gb = g.astype(jnp.bfloat16)
+
+    dy = dy_ref[...].astype(jnp.float32)
+    do = dp_ref[...].astype(jnp.float32) * dy              # (TM, C)
+    dob = do.astype(jnp.bfloat16)
+    dw2_ref[...] += jax.lax.dot_general(                   # g^T do
+        gb, dob, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(do, axis=0, keepdims=True)
+    dg = jax.lax.dot_general(                              # do W2^T
+        dob, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = dg * _gelu_tanh_grad(h)
+    dhb = dh.astype(jnp.bfloat16)
+    dw1_ref[...] += jax.lax.dot_general(                   # ln^T dh
+        lnb, dhb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True)
+    dln = jax.lax.dot_general(                             # dh W1^T
+        dhb, w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dg_ref[...] += jnp.sum(dln * xhat, axis=0, keepdims=True)
+    db_ref[...] += jnp.sum(dln, axis=0, keepdims=True)
+    dx = dy + _layernorm_bwd(dln, xhat, rstd, gamma)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _mlp_tm(C: int) -> int:
+    # VMEM: the (TM, 4C) f32 hidden dominates; keep it ~2 MB.
+    return max(128, min(1024, (2 << 20) // (16 * C) // 128 * 128))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fused_mlp_half(x2, gamma, beta, w1, b1, w2, b2, dp2):
+    """y = x + dp * fc2(gelu_tanh(fc1(LN(x)))) on (M, C) tokens.
+
+    Args: x2 (M, C) bf16; gamma/beta (1, C) f32; w1 (C, hidden) bf16;
+    b1 (1, hidden) f32; w2 (hidden, C) bf16; b2 (1, C) f32; dp2 (M, 1)
+    f32 per-token DropPath scale.  Returns (M, C) in x2.dtype.
+    """
+    return _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp2)
+
+
+def _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp2):
+    M, C = x2.shape
+    TM = _mlp_tm(w1.shape[1] // 4 if False else C)
+    pad = (-M) % TM
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        dp2 = jnp.pad(dp2, ((0, pad), (0, 0)))
+    Mp = M + pad
+    hidden = w1.shape[1]
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda m: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        _mlp_half_fwd_kernel,
+        interpret=_SWITCH.enabled,
+        grid=(Mp // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            const((1, C)), const((1, C)),
+            const((C, hidden)), const((1, hidden)),
+            const((hidden, C)), const((1, C)),
+            pl.BlockSpec((TM, 1), lambda m: (m, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, C), lambda m: (m, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x2.dtype),
+    )(x2, gamma, beta, w1, b1, w2, b2, dp2)
+    return y[:M]
+
+
+def _mlp_half_fwd(x2, gamma, beta, w1, b1, w2, b2, dp2):
+    y = _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp2)
+    return y, (x2, gamma, beta, w1, b1, w2, b2, dp2)
+
+
+def _mlp_half_bwd(res, dy):
+    x2, gamma, beta, w1, b1, w2, b2, dp2 = res
+    M, C = x2.shape
+    hidden = w1.shape[1]
+    TM = _mlp_tm(C)
+    pad = (-M) % TM
+    if pad:
+        # pad tokens carry dy == 0, so they contribute nothing anywhere
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        dp2 = jnp.pad(dp2, ((0, pad), (0, 0)))
+        dy = jnp.pad(dy, ((0, pad), (0, 0)))
+    Mp = M + pad
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda m: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        _mlp_half_bwd_kernel,
+        interpret=_SWITCH.enabled,
+        grid=(Mp // TM,),
+        in_specs=[
+            pl.BlockSpec((TM, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            const((1, C)), const((1, C)),
+            const((C, hidden)), const((1, hidden)),
+            const((hidden, C)), const((1, C)),
+            pl.BlockSpec((TM, 1), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TM, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            const((1, C)), const((1, C)),
+            const((C, hidden)), const((1, hidden)),
+            const((hidden, C)), const((1, C)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Mp, C), x2.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+    )(x2, gamma, beta, w1, b1, w2, b2, dp2, dy)
+    dx, dgamma, dbeta, dw1, db1, dw2, db2 = outs
+    return (dx[:M], dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
+            dw1.astype(w1.dtype), db1.astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.astype(b2.dtype), None)
+
+
+fused_mlp_half.defvjp(_mlp_half_fwd, _mlp_half_bwd)
+
+
+# --------------------------------------------------------------------------
+# Attention half-block: y = x + dp * proj(W-MSA(qkv(LN(x))))
+# --------------------------------------------------------------------------
+
+
+def _valid_mask(gb: int, N: int, geom, program_id):
+    """(GB, N, 1) f32 token-validity mask from static window geometry.
+
+    geom = (H, W, ws, nwin, nww, n_real): window w of an image sits at
+    (w // nww, w % nww) in the window grid; token t of a window sits at
+    (t // ws, t % ws).  A token is valid iff its source pixel is inside
+    the (H, W) map AND the window is not wrapper padding (index >=
+    n_real)."""
+    H, W, ws, nwin, nww, n_real = geom
+    widx = program_id * gb + jax.lax.broadcasted_iota(
+        jnp.int32, (gb, N, 1), 0)
+    wloc = widx % nwin
+    wr = wloc // nww
+    wc = wloc % nww
+    t = jax.lax.broadcasted_iota(jnp.int32, (gb, N, 1), 1)
+    row = wr * ws + t // ws
+    col = wc * ws + t % ws
+    # t >= ws*ws are the kernel's token-tile padding (not reference
+    # window padding): mark invalid so bwd masks them out uniformly.
+    ok = (row < H) & (col < W) & (widx < n_real) & (t < ws * ws)
+    return ok.astype(jnp.float32)
+
+
+def _np_tokens(N: int) -> int:
+    """Token-dim padding for in-kernel 2-D merges: Mosaic only supports
+    the (GB, Np, C) <-> (GB*Np, C) shape cast when Np is a whole number
+    of sublane tiles (16 for bf16), so windows pad 49 -> 64 inside the
+    kernel.  The pad tokens are masked out of attention via -1e30 key
+    bias columns (padded into rpe by the wrapper) and produce garbage
+    query rows that the kernel strips before writing."""
+    return -(-N // 16) * 16
+
+
+def _attn_half_core(xp, gamma, beta, wqkv, bqkv, valid, num_heads, scale,
+                    rpe):
+    """Shared forward recompute on token-PADDED windows.
+
+    Args: xp (GB, Np, C) f32; rpe (H, Np, Np) with -1e30 key columns
+    beyond the real N; valid (GB, Np, 1) reference-pad mask (0 rows
+    beyond N are irrelevant — those tokens are bias rows that no real
+    query can attend to).
+    Returns (ln_bf16, xhat, rstd, qkv, per-head probs list, o)."""
+    GB, Np, C = xp.shape
+    hd = C // num_heads
+    ln, xhat, rstd = _layernorm_f32(xp, gamma, beta)
+    lnb = ln.astype(jnp.bfloat16)
+    qkv2 = jax.lax.dot_general(
+        lnb.reshape(GB * Np, C), wqkv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv
+    # reference pad semantics: invalid tokens are zeros through the
+    # Dense, i.e. exactly the bias row
+    qkv = qkv2.reshape(GB, Np, 3 * C)
+    qkv = valid * qkv + (1.0 - valid) * bqkv
+    probs = []
+    outs = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd] * scale
+        k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s + rpe[h][None]
+        p = jax.nn.softmax(s, axis=-1)
+        o_h = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        probs.append(p)
+        outs.append(o_h)
+    o = jnp.concatenate(outs, axis=-1)                      # (GB, Np, C)
+    return lnb, xhat, rstd, qkv, probs, o
+
+
+def _pad_tokens(t, Np):
+    GB, N, C = t.shape
+    if Np == N:
+        return t
+    return jnp.concatenate(
+        [t, jnp.zeros((GB, Np - N, C), t.dtype)], axis=1)
+
+
+def _attn_half_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                          rpe_ref, wproj_ref, bproj_ref, dp_ref, y_ref,
+                          *, num_heads: int, geom):
+    GB, N, C = y_ref.shape
+    Np = rpe_ref.shape[-1]
+    hd = C // num_heads
+    xp = _pad_tokens(x_ref[...], Np).astype(jnp.float32)
+    valid = _valid_mask(GB, Np, geom, pl.program_id(0))
+    rpe = rpe_ref[...].astype(jnp.float32)
+    _, _, _, _, _, o = _attn_half_core(
+        xp, g_ref[0].astype(jnp.float32), b_ref[0].astype(jnp.float32),
+        wqkv_ref[...], bqkv_ref[0].astype(jnp.float32), valid,
+        num_heads, hd ** -0.5, rpe)
+    po = jax.lax.dot_general(
+        o.astype(jnp.bfloat16).reshape(GB * Np, C), wproj_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bproj_ref[0].astype(jnp.float32)
+    y = xp + dp_ref[...].astype(jnp.float32) * po.reshape(GB, Np, C)
+    y_ref[...] = y[:, :N, :].astype(y_ref.dtype)
+
+
+def _attn_half_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                          rpe_ref, wproj_ref, bproj_ref, dp_ref, dy_ref,
+                          dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref,
+                          drpe_ref, dwproj_ref, dbproj_ref,
+                          *, num_heads: int, geom):
+    GB, N, C = dy_ref.shape
+    Np = rpe_ref.shape[-1]
+    hd = C // num_heads
+    scale = hd ** -0.5
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for r in (dg_ref, db_ref, dwqkv_ref, dbqkv_ref, drpe_ref,
+                  dwproj_ref, dbproj_ref):
+            r[...] = jnp.zeros_like(r)
+
+    xp = _pad_tokens(x_ref[...], Np).astype(jnp.float32)
+    valid = _valid_mask(GB, Np, geom, pl.program_id(0))
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = b_ref[0].astype(jnp.float32)
+    rpe = rpe_ref[...].astype(jnp.float32)
+    bqkv = bqkv_ref[0].astype(jnp.float32)
+    lnb, xhat, rstd, qkv, probs, o = _attn_half_core(
+        xp, gamma, beta, wqkv_ref[...], bqkv, valid, num_heads, scale, rpe)
+
+    dy = _pad_tokens(dy_ref[...], Np).astype(jnp.float32)
+    dpo = dp_ref[...].astype(jnp.float32) * dy              # (GB, Np, C)
+    dpob = dpo.astype(jnp.bfloat16)
+    ob = o.astype(jnp.bfloat16)
+    # flatten (GB, Np) rows for the weight grads
+    dwproj_ref[...] += jax.lax.dot_general(
+        ob.reshape(GB * Np, C), dpob.reshape(GB * Np, C),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbproj_ref[...] += jnp.sum(dpo.reshape(GB * Np, C), axis=0,
+                               keepdims=True)
+    do = jax.lax.dot_general(
+        dpob.reshape(GB * Np, C), wproj_ref[...],
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(GB, Np, C)
+
+    dqkv_parts = []
+    for h in range(num_heads):
+        q = qkv[:, :, h * hd:(h + 1) * hd]
+        k = qkv[:, :, C + h * hd:C + (h + 1) * hd]
+        v = qkv[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd]
+        p = probs[h]
+        do_h = do[:, :, h * hd:(h + 1) * hd]
+        dv = jax.lax.dot_general(
+            p, do_h, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dp_ = jax.lax.dot_general(
+            do_h, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        ds = p * (dp_ - jnp.sum(dp_ * p, axis=-1, keepdims=True))
+        drpe_ref[h] += jnp.sum(ds, axis=0).astype(drpe_ref.dtype)
+        dq = scale * jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # q here is re-sliced from qkv, i.e. UNSCALED — dk needs the
+        # explicit scale (s = scale * q k^T)
+        dk = scale * jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dqkv_parts.append((dq, dk, dv))
+    dqkv = jnp.concatenate(
+        [t[0] for t in dqkv_parts] + [t[1] for t in dqkv_parts]
+        + [t[2] for t in dqkv_parts], axis=-1)              # (GB, Np, 3C)
+
+    # qkv = valid * (ln W + b) + (1 - valid) * b
+    dqkv2 = dqkv.reshape(GB * Np, 3 * C)
+    dbqkv_ref[...] += jnp.sum(dqkv2, axis=0, keepdims=True)
+    dqkv_v = (dqkv * valid).astype(jnp.bfloat16).reshape(GB * Np, 3 * C)
+    dwqkv_ref[...] += jax.lax.dot_general(
+        lnb.reshape(GB * Np, C), dqkv_v,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dln = jax.lax.dot_general(
+        dqkv_v, wqkv_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(GB, Np, C)
+    dg_ref[...] += jnp.sum((dln * xhat).reshape(GB * Np, C), axis=0,
+                           keepdims=True)
+    db_ref[...] += jnp.sum(dln.reshape(GB * Np, C), axis=0, keepdims=True)
+    dx = dy + _layernorm_bwd(dln, xhat, rstd, gamma)
+    dx_ref[...] = dx[:, :N, :].astype(dx_ref.dtype)
+
+
+def _attn_gb(C: int, N: int, num_heads: int, bwd: bool = False) -> int:
+    # per-window f32 VMEM at the PADDED token count Np: the live set is
+    # roughly qkv 3C + x/ln/o (+do/dqkv/dln in bwd) columns, plus
+    # num_heads (Np, Np) probs (+ds/dp_ in bwd); Mosaic also double-
+    # buffers the streamed blocks, so budget conservatively (~3 MB).
+    Np = _np_tokens(N)
+    cols = (14 if bwd else 8) * C + (3 if bwd else 1) * num_heads * Np
+    per_win = Np * cols * 4
+    gb = max(8, min(64, (3 << 20) // max(per_win, 1)))
+    return gb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_attn_half(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw,
+                    num_heads: int, geom: Tuple[int, ...]):
+    """y = x + dp * proj(W-MSA(qkv(LN(x)))) on windowed tokens.
+
+    Args: xw (nW, N, C) bf16 from window_partition; gamma/beta (1, C)
+    f32; wqkv (C, 3C) bf16; bqkv (1, 3C) f32; rpe (H, N, N) f32; wproj
+    (C, C) bf16; bproj (1, C) f32; dpw (nW, 1, 1) f32 per-window
+    DropPath scale.  num_heads static; geom = (H, W, ws) of the source
+    map (static), from which the kernel derives exact reference window-
+    pad semantics.  Returns (nW, N, C).
+    """
+    return _attn_half_call(xw, gamma, beta, wqkv, bqkv, rpe, wproj,
+                           bproj, dpw, num_heads, geom)
+
+
+def _attn_geom(geom, nW, GB):
+    H, W, ws = geom
+    nww = -(-W // ws)
+    nwin = nww * (-(-H // ws))
+    return (H, W, ws, nwin, nww, nW)
+
+
+def _pad_rpe(rpe, Np):
+    """(H, N, N) -> (H, Np, Np): -1e30 in the padded KEY columns masks
+    the kernel's token-tile padding out of every softmax; padded query
+    rows are garbage the kernel strips."""
+    H, N, _ = rpe.shape
+    if Np == N:
+        return rpe.astype(jnp.float32)
+    out = jnp.full((H, Np, Np), -1e30, jnp.float32)
+    return out.at[:, :N, :N].set(rpe.astype(jnp.float32))
+
+
+def _attn_half_call(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw,
+                    num_heads, geom):
+    nW, N, C = xw.shape
+    Np = _np_tokens(N)
+    GB = _attn_gb(C, N, num_heads)
+    pad = (-nW) % GB
+    if pad:
+        xw = jnp.pad(xw, ((0, pad), (0, 0), (0, 0)))
+        dpw = jnp.pad(dpw, ((0, pad), (0, 0), (0, 0)))
+    nWp = nW + pad
+    kgeom = _attn_geom(geom, nW, GB)
+    rpe_p = _pad_rpe(rpe, Np)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda m: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        functools.partial(_attn_half_fwd_kernel, num_heads=num_heads,
+                          geom=kgeom),
+        interpret=_SWITCH.enabled,
+        grid=(nWp // GB,),
+        in_specs=[
+            pl.BlockSpec((GB, N, C), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)), const((1, 3 * C)),
+            const((num_heads, Np, Np)),
+            const((C, C)), const((1, C)),
+            pl.BlockSpec((GB, 1, 1), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GB, N, C), lambda m: (m, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nWp, N, C), xw.dtype),
+    )(xw, gamma, beta, wqkv, bqkv, rpe_p, wproj, bproj, dpw)
+    return y[:nW]
+
+
+def _attn_half_fwd(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw,
+                   num_heads, geom):
+    y = _attn_half_call(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj,
+                        dpw, num_heads, geom)
+    return y, (xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw)
+
+
+def _attn_half_bwd(num_heads, geom, res, dy):
+    xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw = res
+    nW, N, C = xw.shape
+    Np = _np_tokens(N)
+    GB = _attn_gb(C, N, num_heads, bwd=True)
+    pad = (-nW) % GB
+    if pad:
+        xw = jnp.pad(xw, ((0, pad), (0, 0), (0, 0)))
+        dpw = jnp.pad(dpw, ((0, pad), (0, 0), (0, 0)))
+        dy = jnp.pad(dy, ((0, pad), (0, 0), (0, 0)))
+    nWp = nW + pad
+    kgeom = _attn_geom(geom, nW, GB)
+    rpe_p = _pad_rpe(rpe, Np)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda m: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_attn_half_bwd_kernel, num_heads=num_heads,
+                          geom=kgeom),
+        interpret=_SWITCH.enabled,
+        grid=(nWp // GB,),
+        in_specs=[
+            pl.BlockSpec((GB, N, C), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)), const((1, 3 * C)),
+            const((num_heads, Np, Np)),
+            const((C, C)), const((1, C)),
+            pl.BlockSpec((GB, 1, 1), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GB, N, C), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((GB, N, C), lambda m: (m, 0, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, C)), const((1, C)),
+            const((C, 3 * C)), const((1, 3 * C)),
+            const((num_heads, Np, Np)),
+            const((C, C)), const((1, C)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nWp, N, C), xw.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((num_heads, Np, Np), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ],
+    )(xw, gamma, beta, wqkv, bqkv, rpe_p, wproj, bproj, dpw, dy)
+    dx, dgamma, dbeta, dwqkv, dbqkv, drpe, dwproj, dbproj = outs
+    return (dx[:nW], dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
+            dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),
+            drpe[:, :N, :N].astype(rpe.dtype),
+            dwproj.astype(wproj.dtype),
+            dbproj.astype(bproj.dtype), None)
+
+
+fused_attn_half.defvjp(_attn_half_fwd, _attn_half_bwd)

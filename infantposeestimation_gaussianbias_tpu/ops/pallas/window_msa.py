@@ -122,6 +122,81 @@ def _auto_block(block_windows: int, nW: int, N: int, row_channels: int,
     return min(gb, max(nW, 1))
 
 
+def _pack_group(x, G: int):
+    """(GB, N, hd) -> block-diagonal (GB//G, G*N, G*hd).
+
+    Packs G independent window-attention problems into ONE MXU-shaped
+    operand: group i row-block g = window i*G+g, living in its own
+    hd-wide lane band.  Cross-window products then vanish structurally
+    (disjoint contraction lanes), so one (G*N, G*hd)x(G*hd, G*N) matmul
+    computes G window score matrices at once — at hd=32, G=4 that is a
+    (196,128)@(128,196) GEMM instead of four (49,32)@(32,49) ops that
+    each use ~4% of the 128x128 systolic array (round-5 decomposition,
+    BENCH.md)."""
+    GB, N, hd = x.shape
+    ngrp = GB // G
+    xr = x.reshape(ngrp, G, N, hd)
+    zeros = jnp.zeros((ngrp, N, hd), x.dtype)
+    rows = []
+    for g in range(G):
+        lane_blocks = [zeros] * G
+        lane_blocks[g] = xr[:, g]
+        rows.append(jnp.concatenate(lane_blocks, axis=-1))
+    return jnp.concatenate(rows, axis=1)
+
+
+def _unpack_group(x4, G: int, N: int, hd: int):
+    """Inverse of _pack_group: extract the diagonal blocks back to
+    (GB, N, hd)."""
+    ngrp = x4.shape[0]
+    outs = [x4[:, g * N:(g + 1) * N, g * hd:(g + 1) * hd][:, None]
+            for g in range(G)]
+    return jnp.concatenate(outs, axis=1).reshape(ngrp * G, N, hd)
+
+
+def _attn_qkv_kernel_packed(qkv_ref, pbias_ref, out_ref, *, num_heads: int,
+                            scale: float, pack: int):
+    # Blocks: qkv (GB, N, 3C); pbias (H, G*N, G*N) — blockdiag RPE bias
+    # with -1e30 off the diagonal blocks (masks the packed cross terms
+    # out of the softmax exactly); out (GB, N, C).
+    C = out_ref.shape[-1]
+    hd = C // num_heads
+    G = pack
+    N = qkv_ref.shape[1]
+    for h in range(num_heads):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32) * scale
+        k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd].astype(
+            jnp.float32)
+        q4, k4, v4 = _pack_group(q, G), _pack_group(k, G), _pack_group(v, G)
+        s4 = jax.lax.dot_general(
+            q4, k4, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (ngrp, GN, GN)
+        s4 = s4 + pbias_ref[h].astype(jnp.float32)[None]
+        p4 = jax.nn.softmax(s4, axis=-1)
+        o4 = jax.lax.dot_general(
+            p4, v4, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # (ngrp, GN, Ghd)
+        o = _unpack_group(o4, G, N, hd)
+        out_ref[:, :, h * hd:(h + 1) * hd] = o.astype(out_ref.dtype)
+
+
+def _packed_bias(bias: jnp.ndarray, G: int) -> jnp.ndarray:
+    """(H, N, N) RPE bias -> (H, G*N, G*N) block-diagonal masked bias."""
+    H, N, _ = bias.shape
+    mask = jnp.kron(jnp.eye(G, dtype=jnp.float32),
+                    jnp.ones((N, N), jnp.float32))
+    tiled = jnp.tile(bias.astype(jnp.float32), (1, G, G))
+    return jnp.where(mask.astype(bool)[None], tiled, jnp.float32(-1e30))
+
+
+def _pack_factor(num_heads: int, C: int, N: int) -> int:
+    """How many window problems to pack per GEMM: fill the 128-lane
+    contraction (G*hd ~ 128) without growing G*N past two lane tiles."""
+    hd = C // num_heads
+    return max(1, min(128 // hd, 256 // N))
+
+
 def _attn_qkv_kernel(qkv_ref, bias_ref, out_ref, *, num_heads: int,
                      scale: float):
     # Blocks: qkv (GB, N, 3C); bias (H, N, N); out (GB, N, C).
@@ -176,26 +251,41 @@ def window_attention_pallas_qkv(
     if bias is None:
         bias = jnp.zeros((H, N, N), jnp.float32)
 
+    G = _pack_factor(H, C, N)
     GB = _auto_block(block_windows, nW, N, 4 * C, qkv.dtype.itemsize)
+    if G > 1:
+        GB = max(G, (GB // G) * G)
     pad = (-nW) % GB
     if pad:
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
     nWp = nW + pad
 
+    if G > 1:
+        kernel = functools.partial(_attn_qkv_kernel_packed, num_heads=H,
+                                   scale=hd**-0.5, pack=G)
+        bias_in = _packed_bias(bias, G)
+        bias_spec = pl.BlockSpec((H, G * N, G * N), lambda w: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_attn_qkv_kernel, num_heads=H,
+                                   scale=hd**-0.5)
+        bias_in = bias
+        bias_spec = pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
-        functools.partial(_attn_qkv_kernel, num_heads=H, scale=hd**-0.5),
+        kernel,
         interpret=_SWITCH.enabled,
         grid=(nWp // GB,),
         in_specs=[
             pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bias_spec,
         ],
         out_specs=pl.BlockSpec((GB, N, C), lambda w: (w, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nWp, N, C), qkv.dtype),
-    )(qkv, bias)
+    )(qkv, bias_in)
     return out[:nW]
 
 
@@ -246,6 +336,66 @@ def _attn_qkv_bwd_kernel(qkv_ref, bias_ref, dout_ref, dqkv_ref, dbias_ref,
         dqkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd] = dv.astype(dt)
 
 
+def _attn_qkv_bwd_kernel_packed(qkv_ref, pbias_ref, dout_ref, dqkv_ref,
+                                dbias_ref, *, num_heads: int, scale: float,
+                                pack: int):
+    # Packed-GEMM backward: recompute probs with the same block-diagonal
+    # packing as the forward, then run the five attention-backward
+    # matmuls at MXU shape.  All packed intermediates are block-diagonal
+    # (cross blocks: p4 ~ exp(-1e30) = 0 and do4/v4 structurally 0), so
+    # the softmax-backward row reduction and dbias extraction are exact.
+    C = dout_ref.shape[-1]
+    hd = C // num_heads
+    G = pack
+    N = dout_ref.shape[1]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for h in range(num_heads):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        k = qkv_ref[:, :, C + h * hd:C + (h + 1) * hd].astype(jnp.float32)
+        v = qkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd].astype(
+            jnp.float32)
+        do = dout_ref[:, :, h * hd:(h + 1) * hd].astype(jnp.float32)
+        q4, k4, v4, do4 = (_pack_group(t, G) for t in (q, k, v, do))
+
+        s4 = scale * jax.lax.dot_general(
+            q4, k4, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s4 = s4 + pbias_ref[h].astype(jnp.float32)[None]
+        p4 = jax.nn.softmax(s4, axis=-1)
+
+        dv4 = jax.lax.dot_general(                    # p^T do
+            p4, do4, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (ngrp, GN, Ghd)
+        dp4 = jax.lax.dot_general(                    # do v^T
+            do4, v4, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)       # (ngrp, GN, GN)
+        ds4 = p4 * (dp4 - jnp.sum(dp4 * p4, axis=-1, keepdims=True))
+        # dbias: sum the G diagonal (N, N) blocks over groups and grid
+        db = jnp.zeros((N, N), jnp.float32)
+        for g in range(G):
+            db = db + jnp.sum(
+                ds4[:, g * N:(g + 1) * N, g * N:(g + 1) * N], axis=0)
+        dbias_ref[h] += db.astype(dbias_ref.dtype)
+        dq4 = scale * jax.lax.dot_general(
+            ds4, k4, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dk4 = scale * jax.lax.dot_general(
+            ds4, q4, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+        dt = dqkv_ref.dtype
+        dq = _unpack_group(dq4, G, N, hd)
+        dk = _unpack_group(dk4, G, N, hd)
+        dv = _unpack_group(dv4, G, N, hd)
+        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dt)
+        dqkv_ref[:, :, C + h * hd:C + (h + 1) * hd] = dk.astype(dt)
+        dqkv_ref[:, :, 2 * C + h * hd:2 * C + (h + 1) * hd] = dv.astype(dt)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def window_attention_pallas_qkv_vjp(
     qkv: jnp.ndarray,
@@ -276,8 +426,11 @@ def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
     H = num_heads
     hd = C // H
 
+    G = _pack_factor(H, C, N)
     GB = _auto_block(min(16, block_windows), nW, N, 7 * C,
                      qkv.dtype.itemsize)
+    if G > 1:
+        GB = max(G, (GB // G) * G)
     pad = (-nW) % GB
     if pad:
         # zero-padded windows produce ds == 0 (dp == 0), so they pollute
@@ -286,16 +439,27 @@ def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
         dout = jnp.pad(dout, ((0, pad), (0, 0), (0, 0)))
     nWp = nW + pad
 
+    if G > 1:
+        kernel = functools.partial(_attn_qkv_bwd_kernel_packed,
+                                   num_heads=H, scale=hd**-0.5, pack=G)
+        bias_in = _packed_bias(bias, G)
+        bias_spec = pl.BlockSpec((H, G * N, G * N), lambda w: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        kernel = functools.partial(_attn_qkv_bwd_kernel, num_heads=H,
+                                   scale=hd**-0.5)
+        bias_in = bias
+        bias_spec = pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+
     dqkv, dbias = pl.pallas_call(
-        functools.partial(_attn_qkv_bwd_kernel, num_heads=H,
-                          scale=hd**-0.5),
+        kernel,
         interpret=_SWITCH.enabled,
         grid=(nWp // GB,),
         in_specs=[
             pl.BlockSpec((GB, N, C3), lambda w: (w, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, N, N), lambda w: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            bias_spec,
             pl.BlockSpec((GB, N, C), lambda w: (w, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -309,7 +473,7 @@ def _qkv_vjp_bwd(num_heads, block_windows, res, dout):
             jax.ShapeDtypeStruct((nWp, N, C3), qkv.dtype),
             jax.ShapeDtypeStruct((H, N, N), jnp.float32),
         ],
-    )(qkv, bias, dout)
+    )(qkv, bias_in, dout)
     return dqkv[:nW], dbias.astype(bias.dtype)
 
 
