@@ -33,13 +33,29 @@ from .layers import (
 trunc_init = nn.initializers.truncated_normal(stddev=0.02)
 
 
-def _fused_blocks_enabled() -> bool:
-    """Fused half-block kernels (ops/pallas/fused_block.py) gate: on by
-    default wherever the Pallas path is active; IPE_FUSED_BLOCK=0
-    restores the per-op round-2 kernel path for A/B measurement."""
+def _fused_blocks_enabled(dim: int) -> bool:
+    """Fused half-block kernels (ops/pallas/fused_block.py) gate.
+
+    Round-5 block-level A/B (BENCH.md): the fused kernels WIN at wide
+    channels (C=128 fwd+bwd 1.91 vs 2.19 ms, C=256 1.16 vs 1.25 — the
+    HBM-trip savings dominate once lanes fill) but LOSE at narrow ones
+    (C=32: 11.7 vs 8.7 — Mosaic's compute at 4x lane padding costs more
+    than the streaming saved).  Default: fused only where measured to
+    win (C >= IPE_FUSED_BLOCK_MIN_C, default 128); IPE_FUSED_BLOCK=0
+    disables entirely, =1 forces all blocks (A/B)."""
     import os
 
-    return os.environ.get("IPE_FUSED_BLOCK", "1") == "1"
+    flag = os.environ.get("IPE_FUSED_BLOCK", "0")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    # "auto": fused only at the widths where the BLOCK-level A/B wins.
+    # Shipped default is OFF: the model-level step measured 286.1 ms
+    # with this gate vs 274.8 ms for the per-op kernel path — the
+    # isolated C>=128 wins do not survive the full program's fusion
+    # boundaries (BENCH.md round-5 negative result).
+    return dim >= int(os.environ.get("IPE_FUSED_BLOCK_MIN_C", "128"))
 
 # Dense-PTQ width gate: int8 only pays off when the contraction dim fills
 # the MXU; narrow layers (C=32/64 high-res branches) lose to the extra
@@ -183,7 +199,7 @@ class HRFormerBlock(nn.Module):
         fused = (self.use_pallas and self.with_rpe and self.mesh is None
                  and not self.quant and not self.calibrate
                  and not self.is_initializing()
-                 and _fused_blocks_enabled())
+                 and _fused_blocks_enabled(self.dim))
         if fused:
             return self._fused(x, train)
         shortcut = x
@@ -242,7 +258,14 @@ class HRFormerBlock(nn.Module):
         nW = xw.shape[0]
         nwin = nW // B
 
-        dp1 = jnp.repeat(self._droppath_scale(B, train), nwin)[:, None, None]
+        def dp_vec(scale_b):
+            # per-sample DropPath scales, lane-padded to 128 multiples —
+            # the kernels gather per window/token from this tiny vector
+            # (a per-row operand would stream 128x lane-padded)
+            BP = -(-B // 128) * 128
+            return jnp.pad(scale_b, (0, BP - B))[None]
+
+        dp1 = dp_vec(self._droppath_scale(B, train))
         xw = fused_attn_half(
             xw,
             p_n1["scale"].astype(jnp.float32)[None],
@@ -257,8 +280,7 @@ class HRFormerBlock(nn.Module):
         # MLP is token-pointwise, so it runs in the SAME window layout
         # (pad tokens compute garbage that window_reverse crops off) —
         # one partition + one reverse per block instead of two.
-        dp2 = jnp.repeat(self._droppath_scale(B, train), nwin)
-        dp2 = jnp.repeat(dp2, N)[:, None]
+        dp2 = dp_vec(self._droppath_scale(B, train))
         y2 = fused_mlp_half(
             xw.reshape(nW * N, C),
             p_n2["scale"].astype(jnp.float32)[None],
@@ -267,7 +289,7 @@ class HRFormerBlock(nn.Module):
             p_mlp["fc1"]["bias"].astype(jnp.float32)[None],
             p_mlp["fc2"]["kernel"].astype(self.dtype),
             p_mlp["fc2"]["bias"].astype(jnp.float32)[None],
-            dp2)
+            dp2, nwin * N)
         wins = y2.reshape(nW, ws, ws, C)
         return msa.window_reverse(wins, ws, H, W, Hp, Wp)
 

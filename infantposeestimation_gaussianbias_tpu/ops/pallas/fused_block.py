@@ -13,6 +13,18 @@ Both have custom-VJP Pallas backward kernels (recompute in VMEM,
 weight-gradients accumulated across grid steps in f32 — the same
 accumulation pattern as window_msa's dbias).
 
+STATUS (round-5 measurements, BENCH.md): a well-quantified NEGATIVE at
+model level — the kernels win the block-level A/B at wide channels
+(C=128: 1.91 vs 2.19 ms fwd+bwd; C=256: 1.16 vs 1.25) but lose at the
+narrow widths that dominate HRFormer (C=32: 11.7 vs 8.7 ms), because
+Mosaic-generated compute on 32-lane tensors runs ~2x slower than XLA's
+(measured even with GELU ablated to relu), outweighing the ~12 HBM
+round-trips the fusion saves.  The full train step measured 286.1 ms
+with the C>=128 hybrid gate vs 274.8 ms for the per-op kernel path, so
+the shipped default is OFF (models/hrformer.py _fused_blocks_enabled;
+IPE_FUSED_BLOCK=1/auto re-enables for A/B).  Kept as tested
+infrastructure: the loss is Mosaic codegen at tiny C, not the design.
+
 Contract notes:
  * LayerNorm: f32 stats, eps 1e-5 (torch parity, models/hrformer.py).
  * GELU uses the tanh approximation inside the kernel: Mosaic has no
@@ -83,8 +95,23 @@ def _layernorm_bwd(dln, xhat, rstd, gamma):
 # --------------------------------------------------------------------------
 
 
+def _gather_scale(vec_ref, idx):
+    """Per-row scale from a tiny (1, BP) vector: a (rows, 1) integer
+    index gathered via one-hot multiply + lane reduction (dynamic lane
+    gather is not a Mosaic op; BP lanes of elementwise work is).  The
+    (1, BP) operand replaces a per-row (M, 1) operand whose 1-lane
+    blocks would stream 128x padded."""
+    rows = idx.shape[0]
+    BP = vec_ref.shape[1]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, BP), 1)
+    oh = (lanes == idx).astype(jnp.float32)
+    return jnp.sum(oh * vec_ref[...].astype(jnp.float32), axis=-1,
+                   keepdims=True)
+
+
 def _mlp_half_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
-                         b2_ref, dp_ref, y_ref):
+                         b2_ref, dp_ref, y_ref, *, tps: int):
+    TM = x_ref.shape[0]
     x = x_ref[...].astype(jnp.float32)                     # (TM, C)
     gamma = g_ref[0].astype(jnp.float32)
     beta = b_ref[0].astype(jnp.float32)
@@ -98,14 +125,17 @@ def _mlp_half_fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
         g.astype(jnp.bfloat16), w2_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b2_ref[0].astype(jnp.float32)
-    y = x + dp_ref[...].astype(jnp.float32) * o
+    tok = pl.program_id(0) * TM + jax.lax.broadcasted_iota(
+        jnp.int32, (TM, 1), 0)
+    dp = _gather_scale(dp_ref, tok // tps)
+    y = x + dp * o
     y_ref[...] = y.astype(y_ref.dtype)
 
 
 def _mlp_half_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
                          b2_ref, dp_ref, dy_ref,
                          dx_ref, dg_ref, db_ref, dw1_ref, db1_ref,
-                         dw2_ref, db2_ref):
+                         dw2_ref, db2_ref, *, tps: int):
     @pl.when(pl.program_id(0) == 0)
     def _init():
         dg_ref[...] = jnp.zeros_like(dg_ref)
@@ -115,6 +145,7 @@ def _mlp_half_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
 
+    TM = x_ref.shape[0]
     x = x_ref[...].astype(jnp.float32)
     gamma = g_ref[0].astype(jnp.float32)
     beta = b_ref[0].astype(jnp.float32)
@@ -127,7 +158,10 @@ def _mlp_half_bwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
     gb = g.astype(jnp.bfloat16)
 
     dy = dy_ref[...].astype(jnp.float32)
-    do = dp_ref[...].astype(jnp.float32) * dy              # (TM, C)
+    tok = pl.program_id(0) * TM + jax.lax.broadcasted_iota(
+        jnp.int32, (TM, 1), 0)
+    dp = _gather_scale(dp_ref, tok // tps)
+    do = dp * dy                                           # (TM, C)
     dob = do.astype(jnp.bfloat16)
     dw2_ref[...] += jax.lax.dot_general(                   # g^T do
         gb, dob, (((0,), (0,)), ((), ())),
@@ -156,33 +190,35 @@ def _mlp_tm(C: int) -> int:
     return max(128, min(1024, (2 << 20) // (16 * C) // 128 * 128))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def fused_mlp_half(x2, gamma, beta, w1, b1, w2, b2, dp2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_mlp_half(x2, gamma, beta, w1, b1, w2, b2, dp_vec, tps: int):
     """y = x + dp * fc2(gelu_tanh(fc1(LN(x)))) on (M, C) tokens.
 
     Args: x2 (M, C) bf16; gamma/beta (1, C) f32; w1 (C, hidden) bf16;
-    b1 (1, hidden) f32; w2 (hidden, C) bf16; b2 (1, C) f32; dp2 (M, 1)
-    f32 per-token DropPath scale.  Returns (M, C) in x2.dtype.
+    b1 (1, hidden) f32; w2 (hidden, C) bf16; b2 (1, C) f32; dp_vec
+    (1, BP) f32 per-SAMPLE DropPath scales (lane-padded B); tps static
+    tokens-per-sample (token t belongs to sample t // tps).  Returns
+    (M, C) in x2.dtype.
     """
-    return _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp2)
+    return _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp_vec, tps)
 
 
-def _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp2):
+def _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp_vec, tps):
     M, C = x2.shape
-    TM = _mlp_tm(w1.shape[1] // 4 if False else C)
+    TM = _mlp_tm(C)
     pad = (-M) % TM
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-        dp2 = jnp.pad(dp2, ((0, pad), (0, 0)))
     Mp = M + pad
     hidden = w1.shape[1]
+    BP = dp_vec.shape[1]
 
     def const(shape):
         return pl.BlockSpec(shape, lambda m: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     y = pl.pallas_call(
-        _mlp_half_fwd_kernel,
+        functools.partial(_mlp_half_fwd_kernel, tps=tps),
         interpret=_SWITCH.enabled,
         grid=(Mp // TM,),
         in_specs=[
@@ -190,22 +226,22 @@ def _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp2):
             const((1, C)), const((1, C)),
             const((C, hidden)), const((1, hidden)),
             const((hidden, C)), const((1, C)),
-            pl.BlockSpec((TM, 1), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            const((1, BP)),
         ],
         out_specs=pl.BlockSpec((TM, C), lambda m: (m, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, C), x2.dtype),
-    )(x2, gamma, beta, w1, b1, w2, b2, dp2)
+    )(x2, gamma, beta, w1, b1, w2, b2, dp_vec)
     return y[:M]
 
 
-def _mlp_half_fwd(x2, gamma, beta, w1, b1, w2, b2, dp2):
-    y = _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp2)
-    return y, (x2, gamma, beta, w1, b1, w2, b2, dp2)
+def _mlp_half_fwd(x2, gamma, beta, w1, b1, w2, b2, dp_vec, tps):
+    y = _mlp_half_call(x2, gamma, beta, w1, b1, w2, b2, dp_vec, tps)
+    return y, (x2, gamma, beta, w1, b1, w2, b2, dp_vec)
 
 
-def _mlp_half_bwd(res, dy):
-    x2, gamma, beta, w1, b1, w2, b2, dp2 = res
+def _mlp_half_bwd(tps, res, dy):
+    x2, gamma, beta, w1, b1, w2, b2, dp_vec = res
     M, C = x2.shape
     hidden = w1.shape[1]
     TM = _mlp_tm(C)
@@ -213,16 +249,16 @@ def _mlp_half_bwd(res, dy):
     if pad:
         # pad tokens carry dy == 0, so they contribute nothing anywhere
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-        dp2 = jnp.pad(dp2, ((0, pad), (0, 0)))
         dy = jnp.pad(dy, ((0, pad), (0, 0)))
     Mp = M + pad
+    BP = dp_vec.shape[1]
 
     def const(shape):
         return pl.BlockSpec(shape, lambda m: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
-        _mlp_half_bwd_kernel,
+        functools.partial(_mlp_half_bwd_kernel, tps=tps),
         interpret=_SWITCH.enabled,
         grid=(Mp // TM,),
         in_specs=[
@@ -230,7 +266,7 @@ def _mlp_half_bwd(res, dy):
             const((1, C)), const((1, C)),
             const((C, hidden)), const((1, hidden)),
             const((hidden, C)), const((1, C)),
-            pl.BlockSpec((TM, 1), lambda m: (m, 0), memory_space=pltpu.VMEM),
+            const((1, BP)),
             pl.BlockSpec((TM, C), lambda m: (m, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -248,7 +284,7 @@ def _mlp_half_bwd(res, dy):
             jax.ShapeDtypeStruct((hidden, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
-    )(x2, gamma, beta, w1, b1, w2, b2, dp2, dy)
+    )(x2, gamma, beta, w1, b1, w2, b2, dp_vec, dy)
     dx, dgamma, dbeta, dw1, db1, dw2, db2 = outs
     return (dx[:M], dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
@@ -361,7 +397,10 @@ def _attn_half_fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         o.astype(jnp.bfloat16).reshape(GB * Np, C), wproj_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bproj_ref[0].astype(jnp.float32)
-    y = xp + dp_ref[...].astype(jnp.float32) * po.reshape(GB, Np, C)
+    widx = pl.program_id(0) * GB + jax.lax.broadcasted_iota(
+        jnp.int32, (GB, 1), 0)
+    dp = _gather_scale(dp_ref, widx // geom[3])[:, :, None]  # (GB, 1, 1)
+    y = xp + dp * po.reshape(GB, Np, C)
     y_ref[...] = y[:, :N, :].astype(y_ref.dtype)
 
 
@@ -391,7 +430,10 @@ def _attn_half_bwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         xp, gamma, beta, wqkv_ref[...], bqkv, valid, num_heads, scale, rpe)
 
     dy = _pad_tokens(dy_ref[...], Np).astype(jnp.float32)
-    dpo = dp_ref[...].astype(jnp.float32) * dy              # (GB, Np, C)
+    widx = pl.program_id(0) * GB + jax.lax.broadcasted_iota(
+        jnp.int32, (GB, 1), 0)
+    dp = _gather_scale(dp_ref, widx // geom[3])[:, :, None]
+    dpo = dp * dy                                           # (GB, Np, C)
     dpob = dpo.astype(jnp.bfloat16)
     ob = o.astype(jnp.bfloat16)
     # flatten (GB, Np) rows for the weight grads
@@ -456,28 +498,30 @@ def _attn_gb(C: int, N: int, num_heads: int, bwd: bool = False) -> int:
     # per-window f32 VMEM at the PADDED token count Np: the live set is
     # roughly qkv 3C + x/ln/o (+do/dqkv/dln in bwd) columns, plus
     # num_heads (Np, Np) probs (+ds/dp_ in bwd); Mosaic also double-
-    # buffers the streamed blocks, so budget conservatively (~3 MB).
+    # buffers the streamed blocks.  ~6 MB budget measured safe (the
+    # 16 MB scoped limit minus double-buffering and weight operands).
     Np = _np_tokens(N)
     cols = (14 if bwd else 8) * C + (3 if bwd else 1) * num_heads * Np
     per_win = Np * cols * 4
-    gb = max(8, min(64, (3 << 20) // max(per_win, 1)))
-    return gb
+    gb = max(8, min(128, (6 << 20) // max(per_win, 1)))
+    return (gb // 8) * 8 if gb >= 8 else gb
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def fused_attn_half(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw,
-                    num_heads: int, geom: Tuple[int, ...]):
+def fused_attn_half(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj,
+                    dp_vec, num_heads: int, geom: Tuple[int, ...]):
     """y = x + dp * proj(W-MSA(qkv(LN(x)))) on windowed tokens.
 
     Args: xw (nW, N, C) bf16 from window_partition; gamma/beta (1, C)
     f32; wqkv (C, 3C) bf16; bqkv (1, 3C) f32; rpe (H, N, N) f32; wproj
-    (C, C) bf16; bproj (1, C) f32; dpw (nW, 1, 1) f32 per-window
-    DropPath scale.  num_heads static; geom = (H, W, ws) of the source
-    map (static), from which the kernel derives exact reference window-
-    pad semantics.  Returns (nW, N, C).
+    (C, C) bf16; bproj (1, C) f32; dp_vec (1, BP) f32 per-SAMPLE
+    DropPath scales (lane-padded B; window w belongs to sample
+    w // nwin).  num_heads static; geom = (H, W, ws) of the source map
+    (static), from which the kernel derives exact reference window-pad
+    semantics.  Returns (nW, N, C).
     """
     return _attn_half_call(xw, gamma, beta, wqkv, bqkv, rpe, wproj,
-                           bproj, dpw, num_heads, geom)
+                           bproj, dp_vec, num_heads, geom)
 
 
 def _attn_geom(geom, nW, GB):
@@ -498,16 +542,16 @@ def _pad_rpe(rpe, Np):
     return out.at[:, :N, :N].set(rpe.astype(jnp.float32))
 
 
-def _attn_half_call(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw,
-                    num_heads, geom):
+def _attn_half_call(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj,
+                    dp_vec, num_heads, geom):
     nW, N, C = xw.shape
     Np = _np_tokens(N)
     GB = _attn_gb(C, N, num_heads)
     pad = (-nW) % GB
     if pad:
         xw = jnp.pad(xw, ((0, pad), (0, 0), (0, 0)))
-        dpw = jnp.pad(dpw, ((0, pad), (0, 0), (0, 0)))
     nWp = nW + pad
+    BP = dp_vec.shape[1]
     kgeom = _attn_geom(geom, nW, GB)
     rpe_p = _pad_rpe(rpe, Np)
 
@@ -527,34 +571,33 @@ def _attn_half_call(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw,
             const((C, 3 * C)), const((1, 3 * C)),
             const((num_heads, Np, Np)),
             const((C, C)), const((1, C)),
-            pl.BlockSpec((GB, 1, 1), lambda m: (m, 0, 0),
-                         memory_space=pltpu.VMEM),
+            const((1, BP)),
         ],
         out_specs=pl.BlockSpec((GB, N, C), lambda m: (m, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nWp, N, C), xw.dtype),
-    )(xw, gamma, beta, wqkv, bqkv, rpe_p, wproj, bproj, dpw)
+    )(xw, gamma, beta, wqkv, bqkv, rpe_p, wproj, bproj, dp_vec)
     return y[:nW]
 
 
-def _attn_half_fwd(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw,
-                   num_heads, geom):
+def _attn_half_fwd(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj,
+                   dp_vec, num_heads, geom):
     y = _attn_half_call(xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj,
-                        dpw, num_heads, geom)
-    return y, (xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw)
+                        dp_vec, num_heads, geom)
+    return y, (xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dp_vec)
 
 
 def _attn_half_bwd(num_heads, geom, res, dy):
-    xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dpw = res
+    xw, gamma, beta, wqkv, bqkv, rpe, wproj, bproj, dp_vec = res
     nW, N, C = xw.shape
     Np = _np_tokens(N)
     GB = _attn_gb(C, N, num_heads, bwd=True)
     pad = (-nW) % GB
     if pad:
         xw = jnp.pad(xw, ((0, pad), (0, 0), (0, 0)))
-        dpw = jnp.pad(dpw, ((0, pad), (0, 0), (0, 0)))
         dy = jnp.pad(dy, ((0, pad), (0, 0), (0, 0)))
     nWp = nW + pad
+    BP = dp_vec.shape[1]
     kgeom = _attn_geom(geom, nW, GB)
     rpe_p = _pad_rpe(rpe, Np)
 
@@ -574,8 +617,7 @@ def _attn_half_bwd(num_heads, geom, res, dy):
             const((C, 3 * C)), const((1, 3 * C)),
             const((num_heads, Np, Np)),
             const((C, C)), const((1, C)),
-            pl.BlockSpec((GB, 1, 1), lambda m: (m, 0, 0),
-                         memory_space=pltpu.VMEM),
+            const((1, BP)),
             pl.BlockSpec((GB, N, C), lambda m: (m, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -597,7 +639,7 @@ def _attn_half_bwd(num_heads, geom, res, dy):
             jax.ShapeDtypeStruct((C, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ],
-    )(xw, gamma, beta, wqkv, bqkv, rpe_p, wproj, bproj, dpw, dy)
+    )(xw, gamma, beta, wqkv, bqkv, rpe_p, wproj, bproj, dp_vec, dy)
     dx, dgamma, dbeta, dwqkv, dbqkv, drpe, dwproj, dbproj = outs
     return (dx[:nW], dgamma.astype(gamma.dtype), dbeta.astype(beta.dtype),
             dwqkv.astype(wqkv.dtype), dbqkv.astype(bqkv.dtype),

@@ -29,16 +29,21 @@ def _ln_ref(x, gamma, beta, eps=1e-5):
     return (x - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
 
 
-def _mlp_ref(x2, gamma, beta, w1, b1, w2, b2, dp2):
+def _mlp_ref(x2, gamma, beta, w1, b1, w2, b2, dp_vec, tps):
     ln = _ln_ref(x2, gamma, beta)
     h = ln.astype(jnp.bfloat16) @ w1 + b1
     g = _gelu_tanh(h.astype(jnp.float32))
     o = g.astype(jnp.bfloat16) @ w2 + b2
+    M = x2.shape[0]
+    dp2 = dp_vec[0, jnp.arange(M) // tps][:, None]
     return (x2.astype(jnp.float32) + dp2 * o.astype(jnp.float32)).astype(
         x2.dtype)
 
 
-def _mlp_args(rng, M=100, C=32, hidden=128):
+def _mlp_args(rng, M=100, C=32, hidden=128, tps=25):
+    dp_vec = np.zeros((1, 128), np.float32)
+    nb = -(-M // tps)
+    dp_vec[0, :nb] = (rng.rand(nb) > 0.3).astype(np.float32) / 0.7
     return (
         jnp.asarray(rng.randn(M, C).astype(np.float32), jnp.bfloat16),
         jnp.asarray(rng.randn(1, C).astype(np.float32)),
@@ -49,7 +54,8 @@ def _mlp_args(rng, M=100, C=32, hidden=128):
         jnp.asarray(0.1 * rng.randn(hidden, C).astype(np.float32),
                     jnp.bfloat16),
         jnp.asarray(0.1 * rng.randn(1, C).astype(np.float32)),
-        jnp.asarray((rng.rand(M, 1) > 0.3).astype(np.float32) / 0.7),
+        jnp.asarray(dp_vec),
+        tps,
     )
 
 
@@ -64,12 +70,12 @@ def test_fused_mlp_half_forward(rng):
 
 
 def test_fused_mlp_half_grads(rng):
-    args = _mlp_args(rng, M=40, C=16, hidden=64)
+    args = _mlp_args(rng, M=40, C=16, hidden=64, tps=10)
     probe = jnp.asarray(rng.randn(40, 16).astype(np.float32), jnp.bfloat16)
 
     def loss(fn):
         def inner(x2, gamma, beta, w1, b1, w2, b2):
-            y = fn(x2, gamma, beta, w1, b1, w2, b2, args[7])
+            y = fn(x2, gamma, beta, w1, b1, w2, b2, args[7], args[8])
             return jnp.sum(y.astype(jnp.float32) * probe.astype(jnp.float32))
         return inner
 
@@ -138,10 +144,9 @@ def _run_fused_attn(a):
     ws = a["ws"]
     xw, (Hp, Wp) = msa.window_partition(a["x"], ws)
     nW = xw.shape[0]
-    nwin = nW // B
-    dpw = jnp.repeat(a["dp_b"], nwin)[:, None, None]
+    dp_vec = jnp.pad(a["dp_b"], (0, 128 - B))[None]
     yw = fused_attn_half(xw, a["gamma"], a["beta"], a["wqkv"], a["bqkv"],
-                         a["rpe"], a["wproj"], a["bproj"], dpw,
+                         a["rpe"], a["wproj"], a["bproj"], dp_vec,
                          a["heads"], (H, W, ws))
     return msa.window_reverse(yw.reshape(nW, ws, ws, C), ws, H, W, Hp, Wp)
 
@@ -197,6 +202,7 @@ def test_hrformer_block_fused_matches_unfused(rng, monkeypatch):
         HRFormerBlock,
     )
 
+    monkeypatch.setenv("IPE_FUSED_BLOCK", "1")  # force past the C gate
     x = jnp.asarray(rng.randn(2, 10, 9, 16).astype(np.float32),
                     jnp.bfloat16)
     blk_ref = HRFormerBlock(16, 2, window_size=4, dtype=jnp.bfloat16,
