@@ -59,6 +59,7 @@ def main():
     cfg.model.head_type = "fusion"
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.use_pallas = use_pallas
+    cfg.model.remat = os.environ.get("BENCH_REMAT", "0") == "1"
     cfg.train.steps_per_epoch = 1000
     cfg.train.grad_accum_steps = accum
 

@@ -371,6 +371,7 @@ class HRFormer(nn.Module):
     dtype: Any = jnp.float32
     use_pallas: bool = False
     mesh: Any = None
+    remat: bool = False
     # int8 PTQ: quantizes the transformer Dense layers (qkv/proj/fc1/fc2 —
     # where the FLOPs are); the conv stem/transitions/fuses and all norms
     # stay in the compute dtype, so no QTensor plumbing between modules.
@@ -410,8 +411,14 @@ class HRFormer(nn.Module):
                         fold=self.fold,
                         name=f"transition{s + 1}_{i}")(xs[-1], train))
             xs = new_xs
+            # remat over exchange modules (same granularity as HRNet's,
+            # models/hrnet.py): trades recompute for activation memory —
+            # the lever that fits hrformer_base training at b=128 on one
+            # v5e (without it the step OOMs HBM by ~0.4 GB, BENCH.md).
+            mod_cls = (nn.remat(HRFormerModule, static_argnums=(2,))
+                       if self.remat else HRFormerModule)
             for m in range(modules):
-                xs = HRFormerModule(
+                xs = mod_cls(
                     channels, heads, self.num_blocks, self.window_size,
                     self.mlp_ratio, self.drop_path_rate, norm=self.norm,
                     dtype=self.dtype, use_pallas=self.use_pallas,
@@ -425,20 +432,22 @@ class HRFormer(nn.Module):
 def hrformer_base(norm: str = "batchnorm", dtype: Any = jnp.float32,
                   use_pallas: bool = False, mesh: Any = None,
                   quant: bool = False,
-                  calibrate: bool = False, fold: bool = False) -> HRFormer:
+                  calibrate: bool = False, fold: bool = False,
+                  remat: bool = False) -> HRFormer:
     return HRFormer(channels=(78, 156, 312, 624), num_heads=(2, 4, 8, 16),
                     drop_path_rate=0.2, norm=norm, dtype=dtype,
                     use_pallas=use_pallas, mesh=mesh,
                     quant=quant, calibrate=calibrate,
-                    fold=fold)
+                    fold=fold, remat=remat)
 
 
 def hrformer_small(norm: str = "batchnorm", dtype: Any = jnp.float32,
                    use_pallas: bool = False, mesh: Any = None,
                    quant: bool = False,
-                   calibrate: bool = False, fold: bool = False) -> HRFormer:
+                   calibrate: bool = False, fold: bool = False,
+                   remat: bool = False) -> HRFormer:
     return HRFormer(channels=(32, 64, 128, 256), num_heads=(1, 2, 4, 8),
                     drop_path_rate=0.1, norm=norm, dtype=dtype,
                     use_pallas=use_pallas, mesh=mesh,
                     quant=quant, calibrate=calibrate,
-                    fold=fold)
+                    fold=fold, remat=remat)

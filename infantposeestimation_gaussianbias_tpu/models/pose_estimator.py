@@ -111,7 +111,8 @@ class PoseEstimator(nn.Module):
         if self.backbone_name.startswith("hrformer"):
             kwargs["use_pallas"] = self.use_pallas
             kwargs["mesh"] = self.mesh
-        if self.remat and self.backbone_name.startswith("hrnet"):
+        if self.remat and self.backbone_name.startswith(("hrnet",
+                                                         "hrformer")):
             kwargs["remat"] = True
         if self.stage_modules and self.backbone_name.startswith("hrnet"):
             kwargs["stage_modules"] = tuple(self.stage_modules)
