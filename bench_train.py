@@ -60,6 +60,7 @@ def main():
     cfg.model.compute_dtype = "bfloat16"
     cfg.model.use_pallas = use_pallas
     cfg.model.remat = os.environ.get("BENCH_REMAT", "0") == "1"
+    cfg.model.hrformer_window_size = int(os.environ.get("BENCH_WS", "7"))
     cfg.train.steps_per_epoch = 1000
     cfg.train.grad_accum_steps = accum
 

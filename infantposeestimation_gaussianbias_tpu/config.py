@@ -104,6 +104,13 @@ class ModelConfig:
     # (TPU only; zero-relayout qkv layout — 1.50x model-level on
     # hrformer_small, 1.64x on hrformer_base vs the XLA path, BENCH.md).
     use_pallas: bool = True
+    # HRFormer attention window size.  7 is the reference's value (and
+    # the checkpoint-parity default); 8 is the TPU-native variant: 64
+    # tokens exactly fill bf16 sublane tiles and a 64x48 stride-4 map
+    # tiles 8x6 windows with ZERO padding (49-token windows pad 31% of
+    # the attention math on TPU).  Train-from-scratch configs can pick 8;
+    # imported reference checkpoints require 7.
+    hrformer_window_size: int = 7
     # Loss selection + the six fusion-loss term weights
     # (ref configs/config.py:63-72).
     use_target_weight: bool = True

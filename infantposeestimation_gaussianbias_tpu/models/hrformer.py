@@ -433,21 +433,21 @@ def hrformer_base(norm: str = "batchnorm", dtype: Any = jnp.float32,
                   use_pallas: bool = False, mesh: Any = None,
                   quant: bool = False,
                   calibrate: bool = False, fold: bool = False,
-                  remat: bool = False) -> HRFormer:
+                  remat: bool = False, window_size: int = 7) -> HRFormer:
     return HRFormer(channels=(78, 156, 312, 624), num_heads=(2, 4, 8, 16),
                     drop_path_rate=0.2, norm=norm, dtype=dtype,
                     use_pallas=use_pallas, mesh=mesh,
                     quant=quant, calibrate=calibrate,
-                    fold=fold, remat=remat)
+                    fold=fold, remat=remat, window_size=window_size)
 
 
 def hrformer_small(norm: str = "batchnorm", dtype: Any = jnp.float32,
                    use_pallas: bool = False, mesh: Any = None,
                    quant: bool = False,
                    calibrate: bool = False, fold: bool = False,
-                   remat: bool = False) -> HRFormer:
+                   remat: bool = False, window_size: int = 7) -> HRFormer:
     return HRFormer(channels=(32, 64, 128, 256), num_heads=(1, 2, 4, 8),
                     drop_path_rate=0.1, norm=norm, dtype=dtype,
                     use_pallas=use_pallas, mesh=mesh,
                     quant=quant, calibrate=calibrate,
-                    fold=fold, remat=remat)
+                    fold=fold, remat=remat, window_size=window_size)

@@ -101,6 +101,9 @@ class PoseEstimator(nn.Module):
     remat: bool = False
     # HRNet modules per exchange stage; None = reference (1, 4, 3).
     stage_modules: Optional[Tuple[int, int, int]] = None
+    # HRFormer attention window (7 = reference/checkpoint parity;
+    # 8 = TPU-native tiling, see config.ModelConfig.hrformer_window_size).
+    hrformer_window_size: int = 7
     # Device mesh for mesh-composed Pallas kernels (hrformer backbones):
     # with a multi-device mesh the W-MSA kernel runs per-shard via
     # shard_map instead of replicating its operands under GSPMD.
@@ -111,6 +114,8 @@ class PoseEstimator(nn.Module):
         if self.backbone_name.startswith("hrformer"):
             kwargs["use_pallas"] = self.use_pallas
             kwargs["mesh"] = self.mesh
+            if self.hrformer_window_size != 7:
+                kwargs["window_size"] = self.hrformer_window_size
         if self.remat and self.backbone_name.startswith(("hrnet",
                                                          "hrformer")):
             kwargs["remat"] = True
@@ -195,6 +200,7 @@ def build_model(cfg, quant: bool = False, calibrate: bool = False,
         stage_modules=(tuple(cfg.model.hrnet_stage_modules)
                        if getattr(cfg.model, "hrnet_stage_modules", ())
                        else None),
+        hrformer_window_size=getattr(cfg.model, "hrformer_window_size", 7),
         mesh=mesh,
     )
 

@@ -217,3 +217,22 @@ def test_hrformer_block_fused_matches_unfused(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                atol=4e-2, rtol=4e-2)
+
+
+def test_hrformer_window_size_variant_plumbs(rng):
+    """cfg.model.hrformer_window_size reaches the backbone: ws=8 changes
+    the RPE table to (2*8-1)^2 rows (shape-level check via eval_shape —
+    the TPU-native window variant, BENCH.md round 5)."""
+    from infantposeestimation_gaussianbias_tpu.config import Config
+    from infantposeestimation_gaussianbias_tpu.models import build_model
+
+    cfg = Config()
+    cfg.model.backbone = "hrformer_small"
+    cfg.model.hrformer_window_size = 8
+    model = build_model(cfg)
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros((1, 64, 48, 3)), False),
+        jax.random.PRNGKey(0))
+    t = shapes["params"]["backbone"]["stage2_module0"]["branch0_block0"][
+        "attn"]["rpe_table"]
+    assert t.shape == ((2 * 8 - 1) ** 2, 1)
