@@ -236,3 +236,44 @@ def test_hrformer_window_size_variant_plumbs(rng):
     t = shapes["params"]["backbone"]["stage2_module0"]["branch0_block0"][
         "attn"]["rpe_table"]
     assert t.shape == ((2 * 8 - 1) ** 2, 1)
+
+
+def test_hrformer_block_fused_grads_flow_to_params(rng, monkeypatch):
+    """The fused apply path reads params via get_variable — this must
+    not break autodiff: grads wrt EVERY param of the block must match
+    the unfused path (guards silent zero-grad training)."""
+    from infantposeestimation_gaussianbias_tpu.models.hrformer import (
+        HRFormerBlock,
+    )
+
+    monkeypatch.setenv("IPE_FUSED_BLOCK", "1")
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32),
+                    jnp.bfloat16)
+    blk_ref = HRFormerBlock(16, 2, window_size=4, dtype=jnp.bfloat16,
+                            use_pallas=False)
+    variables = blk_ref.init(jax.random.PRNGKey(0), x, False)
+    probe = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+
+    def loss(blk):
+        def inner(params):
+            y = blk.apply({"params": params}, x, False)
+            return jnp.sum(y.astype(jnp.float32) * probe)
+        return inner
+
+    g_ref = jax.grad(loss(blk_ref))(variables["params"])
+    blk_fused = HRFormerBlock(16, 2, window_size=4, dtype=jnp.bfloat16,
+                              use_pallas=True)
+    with pltpu.force_tpu_interpret_mode():
+        g_fused = jax.grad(loss(blk_fused))(variables["params"])
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_fused = dict(jax.tree_util.tree_leaves_with_path(g_fused))
+    assert len(flat_ref) == len(flat_fused)
+    for path, ref_leaf in flat_ref:
+        got = flat_fused[path]
+        name = jax.tree_util.keystr(path)
+        # every param must actually receive gradient through the fused path
+        assert float(jnp.max(jnp.abs(got))) > 0.0, f"zero grad: {name}"
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref_leaf, np.float32),
+            atol=8e-2, rtol=8e-2, err_msg=f"grad wrt {name}")
