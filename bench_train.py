@@ -63,6 +63,12 @@ def main():
     cfg.model.hrformer_window_size = int(os.environ.get("BENCH_WS", "7"))
     cfg.train.steps_per_epoch = 1000
     cfg.train.grad_accum_steps = accum
+    # BENCH_INPUT="W,H": train at the reference's second resolution
+    # (288,384 for the *_384 configs, README.md:227-229).
+    W_in, H_in = (int(v) for v in os.environ.get(
+        "BENCH_INPUT", "192,256").split(","))
+    cfg.data.input_size = (W_in, H_in)
+    cfg.data.heatmap_size = (W_in // 4, H_in // 4)
 
     model = build_model(cfg)
     state = create_train_state(cfg, model, jax.random.PRNGKey(0))
@@ -70,10 +76,13 @@ def main():
 
     rng = np.random.RandomState(0)
     K = cfg.data.num_keypoints
+    kpx = rng.uniform(10, W_in - 12, (B, K, 1))
+    kpy = rng.uniform(10, H_in - 12, (B, K, 1))
     batch = {
-        "image": jnp.asarray(rng.randn(B, 256, 192, 3).astype(np.float32)),
+        "image": jnp.asarray(
+            rng.randn(B, H_in, W_in, 3).astype(np.float32)),
         "keypoints": jnp.asarray(
-            rng.uniform(10, 180, (B, K, 2)).astype(np.float32)),
+            np.concatenate([kpx, kpy], axis=-1).astype(np.float32)),
         "visible": jnp.ones((B, K), jnp.float32),
     }
 
@@ -109,7 +118,7 @@ def main():
     print(f"# T_{K0}={t1 * 1e3:.1f}ms T_{K0 + K_CHAIN}={tk * 1e3:.1f}ms "
           f"-> {per * 1e3:.2f}ms/step of {B}", flush=True)
     out = {
-        "metric": "train_crops_per_sec_per_chip_256x192",
+        "metric": f"train_crops_per_sec_per_chip_{H_in}x{W_in}",
         "value": round(B / per, 1),
         "unit": "crops/s",
         "batch_size": B,
@@ -122,7 +131,9 @@ def main():
         out["pallas"] = use_pallas
     fwd = FLOPS_FWD_PER_CROP.get(backbone)
     if fwd:
-        # fwd + ~2x fwd for the backward
+        # published figures are at 256x192; conv/attention FLOPs scale
+        # linearly with pixel count.  fwd + ~2x fwd for the backward.
+        fwd = fwd * (H_in * W_in) / (256 * 192)
         out["mfu_pct"] = round(B * 3 * fwd / per / PEAK_BF16 * 100, 1)
     print(json.dumps(out))
 
