@@ -108,7 +108,10 @@ class ModelConfig:
     # the checkpoint-parity default); 8 is the TPU-native variant: 64
     # tokens exactly fill bf16 sublane tiles and a 64x48 stride-4 map
     # tiles 8x6 windows with ZERO padding (49-token windows pad 31% of
-    # the attention math on TPU).  Train-from-scratch configs can pick 8;
+    # the attention math on TPU).  Measured PER-SIZE (BENCH.md round 5):
+    # +2.5% training on hrformer_small (hd=32 tiles cleanly), -7% on
+    # hrformer_base (hd=39 stays ragged; the bigger windows add real
+    # FLOPs).  Train-from-scratch hrformer_small configs can pick 8;
     # imported reference checkpoints require 7.
     hrformer_window_size: int = 7
     # Loss selection + the six fusion-loss term weights
